@@ -1,0 +1,82 @@
+"""Config loaders must accept every shipped reference config by name
+(BASELINE.md: config names identical)."""
+
+import glob
+import os
+
+import pytest
+
+from nerf_hugs_tpu.configs import gin_parser, yaml_loader
+from nerf_hugs_tpu.configs.config import Config
+
+REF = "/root/reference"
+GIN_FILES = sorted(glob.glob(os.path.join(REF, "MipNeRF360/configs/*.gin")))
+YAML_FILES = sorted(glob.glob(os.path.join(REF, "nerfacto/configs/*.yml")))
+
+
+@pytest.mark.skipif(not GIN_FILES, reason="reference configs unavailable")
+@pytest.mark.parametrize("path", GIN_FILES, ids=os.path.basename)
+def test_all_reference_gin_configs_parse(path):
+    config = gin_parser.parse_gin_configs([path])
+    assert isinstance(config, Config)
+
+
+@pytest.mark.skipif(not YAML_FILES, reason="reference configs unavailable")
+@pytest.mark.parametrize("path", YAML_FILES, ids=os.path.basename)
+def test_all_reference_yaml_configs_parse(path):
+    config = yaml_loader.load_yaml_config(path)
+    assert isinstance(config, Config)
+    assert config.model_type in ("nerfacto", "nerf")
+
+
+def test_gin_values_land_correctly():
+    path = os.path.join(REF, "MipNeRF360/configs/360.gin")
+    if not os.path.exists(path):
+        pytest.skip("reference unavailable")
+    config = gin_parser.parse_gin_configs([path])
+    assert config.dataset_loader == "llff"
+    assert config.near == 0.2 and config.far == 1e6
+    assert config.model.raydist_fn == "reciprocal"
+    assert config.model.opaque_background is True
+    assert config.prop_mlp.warp_fn == "contract"
+    assert config.prop_mlp.net_depth == 4
+    assert config.prop_mlp.disable_rgb is True
+    assert config.nerf_mlp.net_width == 1024
+    assert config.nerf_mlp.warp_fn == "contract"
+
+
+def test_gin_bindings_override():
+    config = gin_parser.parse_gin_configs(
+        [], bindings=["Config.batch_size = 1024",
+                      "Config.data_dir = '/tmp/x'",
+                      "Model.num_glo_features = 4"])
+    assert config.batch_size == 1024
+    assert config.data_dir == "/tmp/x"
+    assert config.model.num_glo_features == 4
+    # finetune aliases resolve to the overridden batch size.
+    assert config.finetune_batch_size == 1024
+
+
+def test_yaml_values_land_correctly():
+    path = os.path.join(REF, "nerfacto/configs/kubric_nerfacto_base.yml")
+    if not os.path.exists(path):
+        pytest.skip("reference unavailable")
+    config = yaml_loader.load_yaml_config(path)
+    assert config.dataset_loader == "kubric"
+    assert config.factor == 2
+    assert config.batch_size == 16384
+    assert config.max_steps == 25000
+    assert config.image_num_per_batch == 64
+    assert config.nerfacto.log2_hashmap_size == 21
+    assert config.nerfacto.num_proposal_samples_per_ray == (256,)
+    assert config.nerfacto.opaque_background is True
+    assert config.data_loss_type == "mse"
+    assert config.distortion_loss_mult == 0.0
+
+
+def test_config_roundtrip_snapshot(tmp_path):
+    config = Config(batch_size=2048)
+    gin_text = gin_parser.config_str(config)
+    assert "Config.batch_size = 2048" in gin_text
+    yaml_loader.save_yaml_config(config, str(tmp_path / "config.yml"))
+    assert (tmp_path / "config.yml").exists()
