@@ -1,0 +1,198 @@
+"""Dataset base: host-side numpy ray-batch producer with a prefetch thread.
+
+Images stay host-side as per-image lists (heterogeneous H x W is fine there);
+only fixed-shape ray batches ship to the TPU, which keeps every jitted
+computation static-shaped (SURVEY.md §7 "dynamic-shape hostility").
+
+Design parity: MipNeRF360/internal/datasets.py:225-549 — daemon producer
+thread + queue.Queue(3), patch sampling with dilation, per-image camera
+tables, full-image eval batches. The queue is seeded with one batch before
+the thread starts to avoid the empty-queue race (datasets.py:385-391).
+"""
+
+from __future__ import annotations
+
+import abc
+import copy
+import queue
+import threading
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from nerf_hugs_tpu.cameras import camera_utils
+from nerf_hugs_tpu.configs.config import Config
+from nerf_hugs_tpu.utils import structs
+
+
+class Dataset(threading.Thread, metaclass=abc.ABCMeta):
+    """Infinite iterator of Batch pytrees (train: random rays; test: images).
+
+    Subclasses implement _load_renderings(config) and must set:
+      images:        list of [H, W, 3] float arrays in [0, 1]
+      static_masks:  list of [H, W, 1] float arrays in [0, 1]
+      nears, fars:   lists of [H, W, 1] float arrays
+      heights, widths, focals, embed_idxs: int/float [N] arrays
+      camtoworlds:   [N, 3, 4]
+      pixtocams:     [N, 3, 3]
+      distortion_params: list of dicts or Nones
+      camtypes:      list of ProjectionType
+    """
+
+    def __init__(self, split: str, is_training: bool,
+                 sample_from_half_image: bool, batch_size: int,
+                 patch_size: int, patch_dilation: int,
+                 image_num_per_batch: int, data_dir: str, config: Config):
+        super().__init__()
+        self._queue = queue.Queue(3)
+        self.daemon = True
+        self._patch_size = max(patch_size, 1)
+        self._batch_size = batch_size // jax.process_count()
+        self._image_num_per_batch = max(1, image_num_per_batch // jax.process_count())
+        self._patch_dilation = patch_dilation
+        if self._image_num_per_batch * self._patch_size**2 > self._batch_size:
+            raise ValueError(
+                f"image_num_per_batch={self._image_num_per_batch} * "
+                f"patch_size={self._patch_size}^2 exceeds per-process batch "
+                f"size {self._batch_size}")
+        self._test_camera_idx = 0
+        self._render_spherical = False
+        self._rng = np.random.default_rng(
+            np.random.SeedSequence([config.seed, jax.process_index(),
+                                    int(is_training)]))
+
+        self.split = structs.DataSplit(split)
+        self.is_training = is_training
+        self.sample_from_half_image = sample_from_half_image
+        self.data_dir = data_dir
+        self.near = config.near
+        self.far = config.far
+        self.render_path = config.render_path
+        self.distortion_params: Optional[List] = None
+        self.poses = None
+        self.pixtocam_ndc = None
+        self.camtypes: Optional[List] = None
+        self.pts3d = None
+
+        self.images: List[np.ndarray] = None
+        self.static_masks: List[np.ndarray] = None
+        self.focals: np.ndarray = None
+        self.heights: np.ndarray = None
+        self.widths: np.ndarray = None
+        self.nears: List[np.ndarray] = None
+        self.fars: List[np.ndarray] = None
+        self.embed_idxs: np.ndarray = None
+        self.camtoworlds: np.ndarray = None
+        self.pixtocams: np.ndarray = None
+
+        self._load_renderings(config)
+
+        self._n_examples = self.camtoworlds.shape[0]
+        self.cameras = (self.pixtocams, self.camtoworlds, self.pixtocam_ndc)
+
+        self._next_fn = self._next_train if is_training else self._next_test
+        # Seed one batch so __next__ can't race thread startup.
+        self._queue.put(self._next_fn())
+        self.start()
+
+    # -- iterator protocol ---------------------------------------------------
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> structs.Batch:
+        return self._queue.get()
+
+    def peek(self) -> structs.Batch:
+        return copy.copy(self._queue.queue[0])
+
+    def run(self):
+        while True:
+            self._queue.put(self._next_fn())
+
+    @property
+    def size(self) -> int:
+        return self._n_examples
+
+    # -- batch construction ---------------------------------------------------
+
+    @abc.abstractmethod
+    def _load_renderings(self, config: Config):
+        ...
+
+    def _make_ray_batch(self, pix_x_int: np.ndarray, pix_y_int: np.ndarray,
+                        cam_idx: int,
+                        lossmult: Optional[np.ndarray] = None) -> structs.Batch:
+        """Pixel coords + camera index -> cast Rays (+ gt rgb)."""
+        bscalar = lambda x: np.broadcast_to(x, pix_x_int.shape)[..., None]
+        pixels = structs.Pixels(
+            pix_x_int=pix_x_int,
+            pix_y_int=pix_y_int,
+            lossmult=bscalar(1.0) if lossmult is None else lossmult,
+            static_mask=self.static_masks[cam_idx][pix_y_int, pix_x_int],
+            near=self.nears[cam_idx][pix_y_int, pix_x_int],
+            far=self.fars[cam_idx][pix_y_int, pix_x_int],
+            embed_idx=bscalar(self.embed_idxs[cam_idx]).astype(np.int32),
+            cam_idx=bscalar(cam_idx).astype(np.int32))
+        rays = camera_utils.cast_ray_batch(
+            self.cameras, pixels, self.heights, self.widths,
+            self.distortion_params[cam_idx], self.camtypes[cam_idx], xnp=np)
+        rgb = None if self.render_path else \
+            self.images[cam_idx][pix_y_int, pix_x_int]
+        return structs.Batch(rays=rays, rgb=rgb)
+
+    def _next_train(self) -> structs.Batch:
+        """Random dilated patches from image_num_per_batch random images,
+        flattened to [batch_size, ...] (datasets.py:494-529)."""
+        p = self._patch_size
+        n_patches = (self._batch_size // self._image_num_per_batch) // p**2
+        span = (p - 1) * self._patch_dilation  # patch footprint minus one
+        dx, dy = camera_utils.pixel_coordinates(p, p)
+
+        parts = []
+        for _ in range(self._image_num_per_batch):
+            cam_idx = int(self._rng.integers(0, self._n_examples))
+            height = self.heights[cam_idx]
+            width = self.widths[cam_idx]
+            if self.sample_from_half_image:
+                width = width // 2
+            x0 = self._rng.integers(0, width - span, (n_patches, 1, 1))
+            y0 = self._rng.integers(0, height - span, (n_patches, 1, 1))
+            pix_x = x0 + dx * self._patch_dilation
+            pix_y = y0 + dy * self._patch_dilation
+            parts.append(self._make_ray_batch(pix_x, pix_y, cam_idx))
+        batch = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *parts)
+        # Flatten [n_patches_total, p, p, c] -> [batch, c]; losses that need
+        # patch structure (robustnerf) reshape back via config.patch_size.
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(-1, x.shape[-1]) if x.ndim > 1 else x, batch)
+
+    def generate_ray_batch(self, cam_idx: int) -> structs.Batch:
+        """All rays of one camera, as an [H, W, ...] batch (eval/render)."""
+        if self._render_spherical:
+            rays = camera_utils.cast_spherical_rays(
+                self.camtoworlds[cam_idx], self.heights[cam_idx],
+                self.widths[cam_idx], self.near, self.far, xnp=np)
+            return structs.Batch(rays=rays)
+        pix_x_int, pix_y_int = camera_utils.pixel_coordinates(
+            self.widths[cam_idx], self.heights[cam_idx])
+        return self._make_ray_batch(pix_x_int, pix_y_int, cam_idx)
+
+    def _next_test(self) -> structs.Batch:
+        cam_idx = self._test_camera_idx
+        self._test_camera_idx = (self._test_camera_idx + 1) % self._n_examples
+        return self.generate_ray_batch(cam_idx)
+
+
+def load_static_mask(path: str, height: int, width: int) -> np.ndarray:
+    """Load a HuGS static mask PNG as [H, W, 1] in [0, 1]; resize if needed."""
+    import cv2
+    from nerf_hugs_tpu.utils import io as nh_io
+    mask = nh_io.load_img(path) / 255.0
+    if mask.shape[0] != height or mask.shape[1] != width:
+        mask = cv2.resize(mask, (width, height))
+    if mask.ndim == 2:
+        mask = mask[..., None]
+    return mask[..., :1].reshape(height, width, 1).astype(np.float32)

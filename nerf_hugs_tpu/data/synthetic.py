@@ -1,0 +1,84 @@
+"""In-memory procedural dataset for tests and benchmarks.
+
+Random-but-deterministic images and lookat poses around a unit scene — the
+reference's DummyDataset pattern for data-layer testing without real data
+(MipNeRF360/tests/datasets_test.py:26-49). Also usable as a training
+smoke-target: images are renders of a colored-sphere world, so a NeRF can
+actually fit them (used by the end-to-end training tests and bench.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nerf_hugs_tpu.cameras import camera_utils
+from nerf_hugs_tpu.data import base
+from nerf_hugs_tpu.utils import structs
+
+
+def _sphere_world_color(origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    """Analytic render of a diffuse unit-sphere at the origin over white bg."""
+    d = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    b = np.sum(origins * d, axis=-1)
+    c = np.sum(origins * origins, axis=-1) - 0.25  # radius 0.5
+    disc = b * b - c
+    hit = disc > 0
+    t = -b - np.sqrt(np.maximum(disc, 0))
+    point = origins + t[..., None] * d
+    normal = point / np.maximum(1e-6, np.linalg.norm(point, axis=-1, keepdims=True))
+    albedo = 0.5 + 0.5 * normal  # normal-colored sphere
+    shade = np.clip(normal @ np.array([0.5, 0.7, 0.5]), 0.1, 1.0)[..., None]
+    color = np.where(hit[..., None], albedo * shade, 1.0)
+    return color.astype(np.float32)
+
+
+class Synthetic(base.Dataset):
+    """Procedural lookat cameras around a sphere world; no disk access."""
+
+    NUM_IMAGES = 8
+    HEIGHT = 24
+    WIDTH = 32
+
+    def _load_renderings(self, config):
+        n = self.NUM_IMAGES
+        h, w = self.HEIGHT, self.WIDTH
+        if config.factor > 1:
+            h, w = h // config.factor, w // config.factor
+        rng = np.random.RandomState(42)
+
+        (self.images, self.static_masks, self.nears, self.fars,
+         self.distortion_params, self.camtypes) = [], [], [], [], [], []
+        heights, widths, focals, embeds, c2ws, p2cs = [], [], [], [], [], []
+        for i in range(n):
+            theta = 2 * np.pi * i / n
+            position = np.array([2.5 * np.cos(theta), 2.5 * np.sin(theta),
+                                 1.2 + 0.1 * rng.randn()])
+            z_axis = camera_utils.normalize(position)  # camera looks at origin
+            c2w = camera_utils.viewmatrix(z_axis, np.array([0.0, 0, 1]), position)
+            focal = 0.9 * w
+            pixtocam = camera_utils.get_pixtocam(focal, w, h)
+
+            xg, yg = camera_utils.pixel_coordinates(w, h)
+            origins, dirs, _, _ = camera_utils.pixels_to_rays(
+                xg, yg, pixtocam, c2w)
+            image = _sphere_world_color(origins, dirs)
+
+            self.images.append(image)
+            self.static_masks.append(np.ones((h, w, 1), np.float32))
+            self.nears.append(np.full((h, w, 1), self.near, np.float32))
+            self.fars.append(np.full((h, w, 1), self.far, np.float32))
+            self.distortion_params.append(None)
+            self.camtypes.append(camera_utils.ProjectionType.PERSPECTIVE)
+            heights.append(h)
+            widths.append(w)
+            focals.append(focal)
+            embeds.append(i)
+            c2ws.append(c2w)
+            p2cs.append(pixtocam)
+
+        self.heights = np.array(heights)
+        self.widths = np.array(widths)
+        self.focals = np.array(focals, np.float32)
+        self.embed_idxs = np.array(embeds)
+        self.camtoworlds = np.stack(c2ws, axis=0)
+        self.pixtocams = np.stack(p2cs, axis=0)

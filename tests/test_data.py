@@ -1,0 +1,131 @@
+"""Data-layer tests: synthetic in-memory dataset + kubric on a fake on-disk
+scene (DummyDataset pattern, MipNeRF360/tests/datasets_test.py:26-49)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nerf_hugs_tpu.configs.config import Config
+from nerf_hugs_tpu.data import load_dataset
+from nerf_hugs_tpu.utils import structs
+
+
+def make_config(**kw):
+    defaults = dict(dataset_loader="synthetic", batch_size=256, patch_size=1,
+                    patch_dilation=1, image_num_per_batch=4, near=0.5, far=6.0)
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+def test_synthetic_train_batches():
+    config = make_config()
+    ds = load_dataset("train", "", config)
+    batch = next(ds)
+    assert isinstance(batch, structs.Batch)
+    assert batch.rgb.shape == (256, 3)
+    assert batch.rays.origins.shape == (256, 3)
+    assert batch.rays.radii.shape == (256, 1)
+    assert batch.rays.embed_idx.dtype == np.int32
+    np.testing.assert_allclose(
+        np.linalg.norm(batch.rays.viewdirs, axis=-1), 1.0, atol=1e-6)
+    assert np.all(batch.rays.near == 0.5)
+    assert np.all(batch.rays.far == 6.0)
+    # Successive batches differ (random sampling).
+    batch2 = next(ds)
+    assert not np.allclose(batch.rays.origins, batch2.rays.origins)
+
+
+def test_synthetic_patch_batches():
+    config = make_config(patch_size=4, batch_size=256, image_num_per_batch=2)
+    ds = load_dataset("train", "", config)
+    batch = next(ds)
+    assert batch.rgb.shape == (256, 3)
+    # Patch structure: reshaping to patches gives contiguous pixel coords.
+    pix = batch.rays.pix_coords.reshape(-1, 4, 4, 2)
+    w = ds.widths[0]
+    x = pix[..., 0] * w  # un-normalize
+    dx = np.diff(x, axis=-1)
+    np.testing.assert_allclose(dx, 1.0, atol=1e-4)
+
+
+def test_synthetic_test_split_full_images():
+    config = make_config()
+    ds = load_dataset("test", "", config)
+    batch = next(ds)
+    h, w = ds.heights[0], ds.widths[0]
+    assert batch.rgb.shape == (h, w, 3)
+    assert batch.rays.origins.shape == (h, w, 3)
+    # Test batches cycle through cameras in order.
+    batch2 = next(ds)
+    assert not np.allclose(batch.rays.origins[0, 0], batch2.rays.origins[0, 0])
+
+
+def test_sample_from_half_image():
+    config = make_config()
+    ds = load_dataset("train", "", config, sample_from_half_image=True)
+    batch = next(ds)
+    # All x pix coords in the left half.
+    assert np.all(batch.rays.pix_coords[..., 0] <= 0.5 + 1e-6)
+
+
+def make_fake_kubric_scene(root):
+    """Minimal kubric directory tree with 3 train / 2 test frames."""
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    h, w = 16, 20
+    os.makedirs(f"{root}/rgb/1x", exist_ok=True)
+    os.makedirs(f"{root}/camera-gt", exist_ok=True)
+    os.makedirs(f"{root}/freeze-test/static-rgb/1x", exist_ok=True)
+    os.makedirs(f"{root}/freeze-test/camera-gt", exist_ok=True)
+    with open(f"{root}/scene_gt.json", "w") as f:
+        json.dump({"center": [0.1, 0.2, 0.0], "scale": 0.5,
+                   "near": 0.2, "far": 3.0}, f)
+    with open(f"{root}/dataset.json", "w") as f:
+        json.dump({"train_ids": ["00000", "00001", "00002"]}, f)
+    with open(f"{root}/freeze-test/dataset.json", "w") as f:
+        json.dump({"val_ids": ["10000", "10001"]}, f)
+
+    def write_frame(img_dir, cam_dir, name):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(f"{img_dir}/{name}.png")
+        cam = {
+            "orientation": np.eye(3).tolist(),
+            "position": rng.randn(3).tolist(),
+            "focal_length": 20.0,
+            "principal_point": [w / 2, h / 2],
+            "skew": 0.0,
+            "pixel_aspect_ratio": 1.0,
+            "radial_distortion": [0.001, 0.0, 0.0],
+            "tangential_distortion": [0.0, 0.0],
+            "image_size": [w, h],
+        }
+        with open(f"{cam_dir}/{name}.json", "w") as f:
+            json.dump(cam, f)
+
+    for name in ["00000", "00001", "00002"]:
+        write_frame(f"{root}/rgb/1x", f"{root}/camera-gt", name)
+    for name in ["10000", "10001"]:
+        write_frame(f"{root}/freeze-test/static-rgb/1x",
+                    f"{root}/freeze-test/camera-gt", name)
+    return h, w
+
+
+def test_kubric_loader(tmp_path):
+    h, w = make_fake_kubric_scene(str(tmp_path))
+    config = make_config(dataset_loader="kubric", factor=1,
+                         batch_size=64, image_num_per_batch=2)
+    ds = load_dataset("train", str(tmp_path), config)
+    assert ds.size == 3
+    batch = next(ds)
+    assert batch.rgb.shape == (64, 3)
+    # Kubric scales the far plane by 1.2 (reference quirk preserved).
+    np.testing.assert_allclose(float(batch.rays.far[0, 0]), 3.0 * 1.2, rtol=1e-6)
+    np.testing.assert_allclose(float(batch.rays.near[0, 0]), 0.2, rtol=1e-6)
+    # Test split: separate images, embed offset by train count.
+    ds_test = load_dataset("test", str(tmp_path), config)
+    assert ds_test.size == 2
+    tb = next(ds_test)
+    assert tb.rgb.shape == (h, w, 3)
+    assert int(tb.rays.embed_idx[0, 0, 0]) == 3
