@@ -1,0 +1,59 @@
+"""Device mesh and sharding helpers.
+
+One 1-D ('data',) mesh over all chips: rays/batches shard along it, params
+replicate. Gradients all-reduce over ICI because jit sees replicated params
+with sharded inputs — no explicit pmean needed (this replaces the reference's
+pmap/pmean, train_utils.py:457-484, with the XLA-native SPMD path).
+Multi-host: call jax.distributed.initialize() before make_mesh(); the mesh
+spans all processes' devices and batch sharding rides DCN across hosts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence[Any]] = None,
+              axis_name: str = "data") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-axis sharding for ray batches."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Device_put a host batch with its leading axis split over the mesh."""
+    sharding = data_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(tree, multiple: int, axis: int = 0):
+    """Edge-pad every leaf's leading axis to a multiple; returns (tree, pad)."""
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(tree)
+    n = leaves[0].shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return tree, 0
+    def _pad(x):
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths, mode="edge")
+    return jax.tree_util.tree_map(_pad, tree), pad

@@ -1,0 +1,155 @@
+"""End-to-end: train a tiny Mip-NeRF 360 on the synthetic sphere world over
+an 8-device CPU mesh; loss must drop and PSNR must rise. This is the
+minimum-slice gate of the build plan (SURVEY.md §7 step 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_hugs_tpu.configs.config import Config, MLPConfig
+from nerf_hugs_tpu.data import load_dataset
+from nerf_hugs_tpu.parallel import mesh as mesh_lib
+from nerf_hugs_tpu.train import step as train_step_lib
+from nerf_hugs_tpu.train.render_image import render_image
+
+
+def tiny_config(**kw):
+    config = Config(
+        dataset_loader="synthetic", batch_size=512, patch_size=1,
+        image_num_per_batch=4, near=0.5, far=6.0, max_steps=200,
+        lr_init=2e-3, lr_final=2e-4, lr_delay_steps=10, lr_delay_mult=0.1,
+        grad_max_norm=0.0, grad_max_val=0.0, data_loss_type="mse",
+        interlevel_loss_mult=1.0, distortion_loss_mult=0.01,
+        render_chunk_size=512, vis_num_rays=4)
+    config.model.num_prop_samples = 16
+    config.model.num_nerf_samples = 8
+    config.model.num_levels = 2
+    config.nerf_mlp = MLPConfig(net_depth=2, net_width=64,
+                                bottleneck_width=32, net_width_viewdirs=32,
+                                max_deg_point=8)
+    config.prop_mlp = MLPConfig(net_depth=2, net_width=32, disable_rgb=True,
+                                max_deg_point=8)
+    for k, v in kw.items():
+        setattr(config, k, v)
+    return config
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "conftest must force 8 cpu devices"
+    return mesh_lib.make_mesh()
+
+
+def run_training(config, mesh, num_steps):
+    dataset = load_dataset("train", "", config)
+    rng = jax.random.PRNGKey(0)
+    model, state, render_fn, train_step, _ = train_step_lib.setup_model(
+        config, rng, mesh)
+    state = mesh_lib.replicate(state, mesh)
+    inlier_thresholds = jnp.ones(config.model.num_levels)
+    rngs = jax.random.PRNGKey(1)
+
+    losses, psnrs = [], []
+    for step, batch in zip(range(num_steps), dataset):
+        batch = mesh_lib.shard_batch(batch, mesh)
+        train_frac = jnp.clip(step / config.max_steps, 0, 1)
+        state, stats, rngs = train_step(rngs, state, batch, train_frac,
+                                        inlier_thresholds)
+        if config.transient_type == "robustnerf":
+            inlier_thresholds = stats["robust_inlier_threshold"]
+        losses.append(float(stats["loss"]))
+        psnrs.append(float(stats["psnr"]))
+    return model, state, render_fn, losses, psnrs, dataset
+
+
+def test_train_loss_decreases(mesh):
+    config = tiny_config()
+    model, state, render_fn, losses, psnrs, dataset = run_training(
+        config, mesh, 150)
+    assert np.isfinite(losses).all()
+    early = np.mean(psnrs[:10])
+    late = np.mean(psnrs[-10:])
+    assert late > early + 3, f"PSNR failed to improve: {early:.2f}->{late:.2f}"
+    assert late > 15, f"final PSNR too low: {late:.2f}"
+
+    # Full-image render through the chunked path.
+    test_ds = load_dataset("test", "", config)
+    batch = next(test_ds)
+    rendering = render_image(render_fn, batch.rays, 1.0, state.params,
+                             config, mesh)
+    assert rendering["rgb"].shape == batch.rgb.shape
+    assert rendering["acc"].shape == batch.rgb.shape[:2]
+    assert "distance_median" in rendering
+    mse = float(np.mean((rendering["rgb"] - batch.rgb) ** 2))
+    test_psnr = -10 * np.log10(mse)
+    assert test_psnr > 12, f"test-view PSNR too low: {test_psnr:.2f}"
+
+
+def test_train_step_is_deterministic_given_rng(mesh):
+    config = tiny_config()
+    dataset = load_dataset("train", "", config)
+    batch = mesh_lib.shard_batch(next(dataset), mesh)
+    rng = jax.random.PRNGKey(0)
+    model, state, _, train_step, _ = train_step_lib.setup_model(
+        config, rng, mesh)
+    state = mesh_lib.replicate(state, mesh)
+    thresholds = jnp.ones(config.model.num_levels)
+
+    s1, stats1, _ = train_step(jax.random.PRNGKey(7), state, batch, 0.0,
+                               thresholds)
+    # Rebuild fresh state (state was donated).
+    model, state2, _, train_step2, _ = train_step_lib.setup_model(
+        config, rng, mesh)
+    state2 = mesh_lib.replicate(state2, mesh)
+    s2, stats2, _ = train_step2(jax.random.PRNGKey(7), state2, batch, 0.0,
+                                thresholds)
+    np.testing.assert_allclose(float(stats1["loss"]), float(stats2["loss"]),
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("transient_type,extra", [
+    ("withmask", {}),
+    ("robustnerf", {"patch_size": 8, "robustnerf_inner_patch_size": 4,
+                    "batch_size": 512, "image_num_per_batch": 2}),
+    ("nerfw", {}),
+    ("hanerf", {}),
+])
+def test_transient_losses_train(mesh, transient_type, extra):
+    config = tiny_config(transient_type=transient_type, **extra)
+    if transient_type in ("nerfw", "hanerf"):
+        config.model.num_transient_features = 8
+        config.model.num_glo_features = 4
+    losses = run_training(config, mesh, 5)[3]
+    assert np.isfinite(losses).all(), f"{transient_type} produced NaN loss"
+
+
+def test_finetune_only_updates_embeddings(mesh):
+    config = tiny_config()
+    config.model.num_glo_features = 4
+    dataset = load_dataset("train", "", config)
+    rng = jax.random.PRNGKey(0)
+    model, state, _, _, _ = train_step_lib.setup_model(config, rng, mesh)
+    ft_state, ft_step, _ = train_step_lib.setup_finetune_model(
+        config, model, state, mesh)
+    ft_state = mesh_lib.replicate(ft_state, mesh)
+    params_before = jax.device_get(ft_state.params)
+
+    batch = mesh_lib.shard_batch(next(dataset), mesh)
+    thresholds = jnp.ones(config.model.num_levels)
+    ft_state, stats, _ = ft_step(jax.random.PRNGKey(3), ft_state, batch, 0.5,
+                                 thresholds)
+    params_after = jax.device_get(ft_state.params)
+
+    flat_before = dict(jax.tree_util.tree_flatten_with_path(params_before)[0])
+    flat_after = dict(jax.tree_util.tree_flatten_with_path(params_after)[0])
+    changed, frozen_ok = 0, True
+    for path in flat_before:
+        name = jax.tree_util.keystr(path)
+        same = np.allclose(flat_before[path], flat_after[path])
+        if "embedding" in name:
+            changed += (not same)
+        else:
+            frozen_ok &= same
+    assert changed >= 1, "no embedding params were updated"
+    assert frozen_ok, "non-embedding params changed during finetune"
