@@ -1,0 +1,88 @@
+"""Benchmark: Mip-NeRF 360 training throughput (rays/sec/chip) on real hardware.
+
+Measures the jitted sharded train step on the flagship configuration
+(NerfMLP 8x1024, PropMLP 4x256, samples 64+64+32, batch 16384 — the
+distractor_1024 gin shape, BASELINE.md "Mip-NeRF 360 train scale") and prints
+ONE JSON line:
+  {"metric": "train_rays_per_sec_per_chip", "value": N, "unit": "rays/s",
+   "vs_baseline": N / REFERENCE_RAYS_PER_SEC_PER_GPU}
+
+vs_baseline uses the reference's published hardware recipe as the yardstick:
+"may need four GPUs (24 GB VRAM)" for 250k steps of batch 16384
+(README.md:120). Public multinerf-class reproductions land around ~1 step/s
+on that 4-GPU recipe => ~16384 rays/s system, ~4096 rays/s/GPU. That figure
+is the documented assumption here; the driver records the raw value too.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC_PER_GPU = 4096.0  # see module docstring
+
+BATCH_SIZE = 16384
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main():
+    from __graft_entry__ import _example_rays, _flagship_config
+    from nerf_hugs_tpu.parallel import mesh as mesh_lib
+    from nerf_hugs_tpu.train import step as train_step_lib
+    from nerf_hugs_tpu.utils import structs
+
+    devices = jax.devices()
+    mesh = mesh_lib.make_mesh(devices)
+    n_chips = len(devices)
+
+    config = _flagship_config(tiny=False)
+    config.batch_size = BATCH_SIZE
+    model, state, _, train_step, _ = train_step_lib.setup_model(
+        config, jax.random.PRNGKey(0), mesh)
+    state = mesh_lib.replicate(state, mesh)
+
+    rays = _example_rays(BATCH_SIZE)
+    rgb = np.random.RandomState(1).rand(BATCH_SIZE, 3).astype(np.float32)
+    batch = mesh_lib.shard_batch(structs.Batch(rays=rays, rgb=rgb), mesh)
+    thresholds = jnp.ones(config.model.num_levels)
+    train_frac = jnp.asarray(0.5)
+
+    rng = jax.random.PRNGKey(1)
+    for _ in range(WARMUP_STEPS):
+        state, stats, rng = train_step(rng, state, batch, train_frac,
+                                       thresholds)
+    # NOTE: block_until_ready is not a reliable barrier through this
+    # environment's remote-TPU tunnel; a device_get (float()) is.
+    float(stats["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, stats, rng = train_step(rng, state, batch, train_frac,
+                                       thresholds)
+    float(stats["loss"])
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = MEASURE_STEPS / elapsed
+    rays_per_sec = steps_per_sec * BATCH_SIZE
+    rays_per_sec_per_chip = rays_per_sec / n_chips
+
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec_per_chip, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(
+            rays_per_sec_per_chip / REFERENCE_RAYS_PER_SEC_PER_GPU, 3),
+        "extra": {
+            "steps_per_sec": round(steps_per_sec, 3),
+            "batch_size": BATCH_SIZE,
+            "n_chips": n_chips,
+            "loss": float(stats["loss"]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

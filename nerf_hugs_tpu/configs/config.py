@@ -83,6 +83,10 @@ class ModelConfig:
     use_gpu_resampling: bool = False
     opaque_background: bool = False
     beta_min: float = 0.03
+    # TPU memory/perf knobs (no reference equivalent; defaults preserve
+    # reference numerics).
+    remat_mlp: bool = False       # jax.checkpoint each MLP level (HBM saver)
+    compute_dtype: str = "float32"  # 'bfloat16' halves MXU time; fp32 heads
 
 
 @dataclasses.dataclass

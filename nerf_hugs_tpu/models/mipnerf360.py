@@ -52,8 +52,13 @@ class MipNerf360Model(nn.Module):
         nerf_mlp_cfg.disable_transient = transient_type != "nerfw"
         prop_mlp_cfg = cfg.MLPConfig(**vars(self.config.prop_mlp))
         prop_mlp_cfg.disable_transient = True
-        nerf_mlp = PosEncMLP(nerf_mlp_cfg, self.compute_dtype, name="NerfMLP_0")
-        prop_mlp = PosEncMLP(prop_mlp_cfg, self.compute_dtype, name="PropMLP_0")
+        compute_dtype = jnp.dtype(mc.compute_dtype)
+        # remat: recompute each level's MLP activations in the backward pass
+        # instead of keeping batch x samples x width live in HBM — the knob
+        # that fits the 4x24GB-GPU reference config on one 16GB TPU chip.
+        mlp_cls = nn.remat(PosEncMLP) if mc.remat_mlp else PosEncMLP
+        nerf_mlp = mlp_cls(nerf_mlp_cfg, compute_dtype, name="NerfMLP_0")
+        prop_mlp = mlp_cls(prop_mlp_cfg, compute_dtype, name="PropMLP_0")
         implicit_mask = (ImplicitMask(name="ImplicitMask_0")
                          if transient_type == "hanerf" else None)
 
