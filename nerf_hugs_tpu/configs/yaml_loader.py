@@ -33,6 +33,8 @@ _BASE_RENAMES = {
 _MODEL_TO_TOP = {
     "rgb_loss_type": "data_loss_type",
     "rgb_loss_mult": "data_loss_mult",
+    "fine_rgb_loss_mult": "data_loss_mult",
+    "coarse_rgb_loss_mult": "data_coarse_loss_mult",
     "transient_type": "transient_type",
     "distortion_loss_mult": "distortion_loss_mult",
     "interlevel_loss_mult": "interlevel_loss_mult",

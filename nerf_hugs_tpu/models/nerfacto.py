@@ -1,0 +1,389 @@
+"""Nerfacto: hash-grid fields + proposal sampling, TPU-native.
+
+Replaces the reference's PyTorch+tiny-cuda-nn stack (nerfacto/models/
+nerfacto.py) with flax modules over ops.hashgrid / ops.sh. Pipeline per level
+(reference :286-414): sample intervals from previous weights (no grad),
+s->t warp, positions = o + t*d, hash field, density -> weights, composite.
+
+Unified model contract: __call__(rng, rays, train_frac, compute_extras,
+zero_glo, zero_tra) -> (renderings, ray_history) like MipNerf360Model, so
+the same train step / loss zoo / renderer drive both backbones:
+  * renderings: [final level] only (proposal levels render no color;
+    nerfacto has no coarse rgb loss) — with compute_extras also acc/depths.
+  * ray_history: every level's {sdist, weights, density(+transient)} for the
+    interlevel/distortion losses.
+
+Deliberate deviations from the reference, documented per SURVEY.md §7:
+  * density_to_weight uses true per-interval deltas (bins[1:]-bins[:-1]);
+    the reference's bins[..., :1] cumulative-delta quirk (ray_utils.py:231)
+    is a bug kept only for its shipped checkpoints.
+  * background color is sampled inside the model from
+    config.{train,test}_background_color instead of a per-ray bg_rgb input
+    (same distribution: uniform random at train when 'random', fixed
+    gray/white/black otherwise).
+  * the NeRF-W branch works (the reference's nerfacto+nerfw path raises
+    NameError on an undefined variable, nerfacto.py:394-401).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_hugs_tpu.configs import config as cfg
+from nerf_hugs_tpu.core import coord, render, stepfun
+from nerf_hugs_tpu.models.mlp import _random_split
+from nerf_hugs_tpu.ops.hashgrid import HashGridEncoding, HashGridSpec
+from nerf_hugs_tpu.ops.sh import sh_encode
+from nerf_hugs_tpu.utils import structs
+
+
+@jax.custom_jvp
+def trunc_exp(x):
+    """exp with clamped-input backward (tcnn's density activation;
+    custom_functions.py:35-49)."""
+    return jnp.exp(x)
+
+
+@trunc_exp.defjvp
+def _trunc_exp_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return jnp.exp(x), jnp.exp(jnp.clip(x, -15.0, 15.0)) * dx
+
+
+def _density_activation(name: str, density_bias: float):
+    if name == "trunc_exp":
+        return lambda raw: trunc_exp(raw)
+    if name == "softplus":
+        return lambda raw: jax.nn.softplus(raw + density_bias)
+    raise ValueError(f"unknown density activation {name!r}")
+
+
+class _ReluMLP(nn.Module):
+    """Plain ReLU MLP head (the enable_tcnn_mlp=False torch-Linear path the
+    shipped configs use, nerfacto.py:760-815). he_uniform kernels."""
+    hidden_dim: int
+    num_layers: int
+    out_dim: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dense = lambda d: nn.Dense(
+            d, kernel_init=jax.nn.initializers.he_uniform(),
+            dtype=self.compute_dtype)
+        for _ in range(self.num_layers - 1):
+            x = nn.relu(dense(self.hidden_dim)(x))
+        return dense(self.out_dim)(x)
+
+
+def _normalize_positions(positions, bound, contraction: bool):
+    """World positions -> [0,1]^3 grid coords + in-box selector
+    (nerfacto.py:818-837). Contraction maps to the radius-2 ball then
+    normalizes; otherwise an axis-aligned box of half-width `bound`."""
+    if contraction:
+        positions = coord.contract(positions)
+        positions = (positions + 2.0) / 4.0
+    else:
+        positions = (positions + bound) / (2 * bound)
+    selector = jnp.all((positions >= 0.0) & (positions <= 1.0), axis=-1)
+    return positions * selector[..., None], selector
+
+
+class NerfactoField(nn.Module):
+    """Hash grid -> density+geo_feat; SH(dir) [+appearance] -> rgb;
+    optional transient head (nerfacto.py:643-875)."""
+    nc: cfg.NerfactoConfig
+    bound: float
+    contraction: bool
+    transient: bool
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, positions, viewdirs, embedded_appearance=None,
+                 embedded_transient=None):
+        nc = self.nc
+        spec = HashGridSpec(
+            num_levels=nc.num_levels, features_per_level=nc.features_per_level,
+            log2_hashmap_size=nc.log2_hashmap_size, base_res=nc.base_res,
+            max_res=nc.max_res)
+        density_act = _density_activation("trunc_exp", -1.0)
+
+        grid_pos, selector = _normalize_positions(positions, self.bound,
+                                                  self.contraction)
+        feats = HashGridEncoding(spec, name="hashgrid")(grid_pos)
+        h = _ReluMLP(nc.hidden_dim, 2, 1 + nc.geo_feat_dim,
+                     self.compute_dtype, name="mlp_base")(
+            feats.astype(self.compute_dtype))
+        raw_density, geo_feat = h[..., :1].astype(jnp.float32), h[..., 1:]
+        density = density_act(raw_density) * selector[..., None]
+
+        d_enc = sh_encode(viewdirs, degree=4)
+        color_in = [d_enc.astype(self.compute_dtype), geo_feat]
+        if embedded_appearance is not None:
+            color_in.append(embedded_appearance.astype(self.compute_dtype))
+        raw_rgb = _ReluMLP(nc.hidden_dim_color, 3, 3, self.compute_dtype,
+                           name="mlp_head")(jnp.concatenate(color_in, -1))
+        rgb = jax.nn.sigmoid(raw_rgb.astype(jnp.float32))
+
+        outputs = {"density": density[..., 0], "rgb": rgb}
+        if self.transient and embedded_transient is not None:
+            t_in = jnp.concatenate(
+                [geo_feat, embedded_transient.astype(self.compute_dtype)], -1)
+            out = _ReluMLP(nc.hidden_dim_transient, 3, 5, self.compute_dtype,
+                           name="mlp_transient")(t_in).astype(jnp.float32)
+            outputs["density_transient"] = (
+                density_act(out[..., :1]) * selector[..., None])[..., 0]
+            outputs["rgb_transient"] = jax.nn.sigmoid(out[..., 1:4])
+            outputs["uncertainty"] = jax.nn.softplus(out[..., 4:])
+        return outputs
+
+
+class HashMLPDensityField(nn.Module):
+    """Density-only proposal field (nerfacto.py:878-1008)."""
+    args: Dict[str, Any]
+    bound: float
+    contraction: bool
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, positions):
+        a = dict(self.args)
+        spec = HashGridSpec(
+            num_levels=a.get("num_levels", 8),
+            features_per_level=a.get("features_per_level", 2),
+            log2_hashmap_size=a.get("log2_hashmap_size", 18),
+            base_res=a.get("base_res", 16), max_res=a.get("max_res", 1024))
+        grid_pos, selector = _normalize_positions(positions, self.bound,
+                                                  self.contraction)
+        feats = HashGridEncoding(spec, name="hashgrid")(grid_pos)
+        raw = _ReluMLP(a.get("hidden_dim", 64), 2, 1, self.compute_dtype,
+                       name="mlp_base")(feats.astype(self.compute_dtype))
+        density = trunc_exp(raw.astype(jnp.float32)) * selector[..., None]
+        return density[..., 0]
+
+
+class HashImplicitMask(nn.Module):
+    """HA-NeRF implicit mask on a 2-D hash grid (nerfacto.py:1011-1090)."""
+    transient_embedding_dim: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, coords, embedded_transient):
+        spec = HashGridSpec(num_levels=16, features_per_level=2,
+                            log2_hashmap_size=19, base_res=16, max_res=2048,
+                            num_dims=2)
+        feats = HashGridEncoding(spec, name="hashgrid")(coords)
+        x = jnp.concatenate(
+            [feats.astype(self.compute_dtype),
+             embedded_transient.astype(self.compute_dtype)], -1)
+        out = _ReluMLP(64, 3, 1, self.compute_dtype, name="mlp")(x)
+        return jax.nn.sigmoid(out.astype(jnp.float32))
+
+
+class NerfactoModel(nn.Module):
+    config: Any  # top-level cfg.Config (carries .nerfacto + loss fields)
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def _get_embedding(self, embed, embed_idx, deterministic, zero):
+        """eval_embedding modes original/zero/average (nerfacto.py:265-291)."""
+        nc = self.config.nerfacto
+        if zero:
+            return jnp.zeros(embed_idx.shape + (embed.features,))
+        if deterministic and nc.eval_embedding == "zero":
+            return jnp.zeros(embed_idx.shape + (embed.features,))
+        if deterministic and nc.eval_embedding == "average":
+            mean = embed.embedding.mean(axis=0)
+            return jnp.broadcast_to(mean, embed_idx.shape + (embed.features,))
+        return embed(embed_idx)
+
+    @nn.compact
+    def __call__(self, rng, rays: structs.Rays, train_frac, compute_extras,
+                 zero_glo=True, zero_tra=True):
+        nc: cfg.NerfactoConfig = self.config.nerfacto
+        config = self.config
+        transient_type = config.transient_type
+        contraction = config.enable_scene_contraction
+        bound = float(config.bound)
+        compute_dtype = jnp.dtype("bfloat16" if config.enable_amp
+                                  else "float32")
+
+        field = NerfactoField(
+            nc, bound, contraction,
+            transient=(transient_type == "nerfw"),
+            compute_dtype=compute_dtype, name="field")
+        prop_nets = []
+        for i in range(nc.num_proposal_iterations):
+            args = nc.proposal_net_args_list[
+                min(i, len(nc.proposal_net_args_list) - 1)]
+            prop_nets.append(HashMLPDensityField(
+                dict(args), bound, contraction, compute_dtype,
+                name=f"proposal_{i}"))
+
+        appearance_embed = None
+        if nc.use_appearance_embedding:
+            appearance_embed = nn.Embed(
+                config.model.num_embeddings, nc.appearance_embedding_dim,
+                name="appearance_embedding")
+        transient_embed = None
+        if nc.use_transient_embedding:
+            transient_embed = nn.Embed(
+                config.model.num_embeddings, nc.transient_embedding_dim,
+                name="transient_embedding")
+        implicit_mask = None
+        if transient_type == "hanerf":
+            implicit_mask = HashImplicitMask(
+                nc.transient_embedding_dim, compute_dtype,
+                name="implicit_mask")
+
+        # Ray warp: piecewise / uniform / reciprocal initial sampler
+        # (nerfacto.py:230-247).
+        sampler = nc.proposal_initial_sampler
+        if sampler == "piecewise":
+            warp_fn = "piecewise"
+        elif sampler == "uniform":
+            warp_fn = None
+        elif sampler == "reciprocal":
+            warp_fn = jnp.reciprocal
+        else:
+            raise ValueError(f"unknown proposal_initial_sampler {sampler!r}")
+        _, s_to_t = coord.construct_ray_warps(warp_fn, rays.near, rays.far)
+
+        # Proposal anneal (Schlick bias over the first N steps) and the
+        # warmup-interpolated update gating (nerfacto.py:292-303), expressed
+        # with traced arithmetic so it jits.
+        curr_step = train_frac * config.max_steps
+        n_anneal = nc.proposal_weights_anneal_max_num_iters
+        frac = jnp.clip(curr_step / n_anneal, 0, 1)
+        s = nc.proposal_weights_anneal_slope
+        anneal = (s * frac) / ((s - 1) * frac + 1)
+        interval = jnp.clip(
+            curr_step * nc.proposal_update_every / max(nc.proposal_warmup, 1),
+            1, nc.proposal_update_every)
+        update_prop = (jnp.round(curr_step) % jnp.round(interval)) < 0.5
+
+        deterministic = rng is None
+        sdist = jnp.concatenate(
+            [jnp.zeros_like(rays.near), jnp.ones_like(rays.far)], axis=-1)
+        weights = jnp.ones_like(rays.near)
+
+        renderings: List[dict] = []
+        ray_history: List[dict] = []
+        num_levels = nc.num_proposal_iterations + 1
+        for i_level in range(num_levels):
+            is_prop = i_level < nc.num_proposal_iterations
+            num_samples = (nc.num_proposal_samples_per_ray[i_level] if is_prop
+                           else nc.num_nerf_samples_per_ray)
+
+            logits = jnp.where(
+                sdist[..., 1:] > sdist[..., :-1],
+                anneal * jnp.log(weights + nc.proposal_histogram_padding),
+                -jnp.inf)
+            key, rng = _random_split(rng)
+            sdist = stepfun.sample_intervals(
+                key, sdist, logits, num_samples,
+                single_jitter=nc.use_single_jitter, domain=(0.0, 1.0))
+            sdist = jax.lax.stop_gradient(sdist)
+
+            tdist = s_to_t(sdist)
+            t_mids = 0.5 * (tdist[..., 1:] + tdist[..., :-1])
+            positions = (rays.origins[..., None, :] +
+                         rays.directions[..., None, :] * t_mids[..., None])
+
+            if is_prop:
+                density = prop_nets[i_level](positions)
+                # Gradient gating: full grads only on update steps; else the
+                # proposal weights are treated as constants (the torch
+                # set_grad_enabled switch, expressed branchlessly).
+                density = jnp.where(update_prop, density,
+                                    jax.lax.stop_gradient(density))
+                field_outputs = {"density": density}
+            else:
+                emb_a = None
+                if appearance_embed is not None:
+                    emb_a = self._get_embedding(
+                        appearance_embed,
+                        jnp.broadcast_to(rays.embed_idx,
+                                         positions.shape[:-1]),
+                        deterministic, zero_glo)
+                emb_t = None
+                if transient_embed is not None and transient_type == "nerfw":
+                    emb_t = self._get_embedding(
+                        transient_embed,
+                        jnp.broadcast_to(rays.embed_idx,
+                                         positions.shape[:-1]),
+                        deterministic, zero_tra)
+                vd = jnp.broadcast_to(rays.viewdirs[..., None, :],
+                                      positions.shape)
+                field_outputs = field(positions, vd, emb_a, emb_t)
+
+            weights, _, _ = render.compute_alpha_weights(
+                field_outputs["density"], tdist, rays.directions,
+                opaque_background=nc.opaque_background)
+            weights = jnp.nan_to_num(weights)
+
+            history = {"sdist": sdist, "weights": weights,
+                       "density": field_outputs["density"]}
+            if not is_prop:
+                bg_key, rng = _random_split(rng)
+                bg_rgbs = self._background(bg_key, weights.shape[:-1] + (3,))
+                rendering = render.volumetric_rendering(
+                    field_outputs["rgb"], weights, tdist, bg_rgbs, rays.far,
+                    compute_extras)
+                if "density_transient" in field_outputs:
+                    w_s, w_t, w_c = render.compute_dual_alpha_weights(
+                        field_outputs["density"],
+                        field_outputs["density_transient"], tdist,
+                        rays.directions,
+                        opaque_background=nc.opaque_background)
+                    (rendering["rgb_combined"], rendering["rgb_static"],
+                     rendering["rgb_transient"]) = \
+                        render.composite_combined_color(
+                            field_outputs["rgb"],
+                            field_outputs["rgb_transient"], bg_rgbs,
+                            w_s, w_t, w_c)
+                    w_tr = render.compute_alpha_weights(
+                        field_outputs["density_transient"], tdist,
+                        rays.directions,
+                        opaque_background=nc.opaque_background)[0]
+                    rendering["uncertainty"] = (
+                        w_tr[..., None] * field_outputs["uncertainty"]
+                    ).sum(axis=-2) + self.config.model.beta_min
+                    history["density_transient"] = \
+                        field_outputs["density_transient"]
+                renderings.append(rendering)
+            ray_history.append(history)
+
+        if implicit_mask is not None:
+            emb_t = self._get_embedding(
+                transient_embed, rays.embed_idx[..., 0], deterministic,
+                zero_tra)
+            renderings[-1]["implicit_mask"] = implicit_mask(
+                rays.pix_coords, emb_t)
+
+        return renderings, ray_history
+
+    def _background(self, rng, shape):
+        color = (self.config.train_background_color if rng is not None
+                 else self.config.test_background_color)
+        if color == "random" and rng is not None:
+            return jax.random.uniform(rng, shape)
+        table = {"white": 1.0, "gray": 0.5, "black": 0.0, "random": 0.5}
+        return jnp.full(shape, table[color])
+
+
+def construct_model(rng, rays: structs.Rays, config):
+    """Build + init a NerfactoModel on a 10-ray slice."""
+    ray = jax.tree_util.tree_map(
+        lambda x: jnp.reshape(x, [-1, x.shape[-1]])[:10], rays)
+    model = NerfactoModel(config=config)
+    init_variables = jax.jit(model.init, static_argnames=(
+        "train_frac", "compute_extras", "zero_glo", "zero_tra"))(
+        rng, rng=None, rays=ray, train_frac=1.0, compute_extras=False,
+        zero_glo=not config.nerfacto.use_appearance_embedding,
+        zero_tra=not config.nerfacto.use_transient_embedding)
+    return model, init_variables

@@ -226,8 +226,8 @@ def create_render_fn(model, config: Config, mesh):
 
 def setup_model(config: Config, rng, mesh):
     """Model + state + render fn + train step + lr fn (train_utils.py:579-596)."""
-    from nerf_hugs_tpu.models import mipnerf360
-    model, variables = mipnerf360.construct_model(
+    from nerf_hugs_tpu import models
+    model, variables = models.construct_model(
         rng, structs.dummy_rays(), config)
     state, lr_fn = create_optimizer(config, variables)
     render_eval_fn = create_render_fn(model, config, mesh)

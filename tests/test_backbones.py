@@ -1,0 +1,112 @@
+"""E2E training smoke for the nerfacto and vanilla-NeRF backbones on the
+8-device mesh (same harness as the mipnerf360 e2e test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_hugs_tpu.configs.config import Config
+from nerf_hugs_tpu.data import load_dataset
+from nerf_hugs_tpu.parallel import mesh as mesh_lib
+from nerf_hugs_tpu.train import step as train_step_lib
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return mesh_lib.make_mesh()
+
+
+def nerfacto_config(**kw):
+    config = Config(
+        dataset_loader="synthetic", model_type="nerfacto", batch_size=512,
+        image_num_per_batch=4, near=0.5, far=6.0, max_steps=100,
+        lr_init=1e-2, lr_final=1e-3, lr_delay_steps=10,
+        grad_max_norm=0.0, grad_max_val=0.0, data_loss_type="mse",
+        enable_amp=False, bound=4.0, enable_scene_contraction=False,
+        train_background_color="white", test_background_color="white",
+        interlevel_loss_mult=1.0, distortion_loss_mult=0.0,
+        render_chunk_size=512)
+    config.nerfacto.num_proposal_iterations = 1
+    config.nerfacto.num_proposal_samples_per_ray = (24,)
+    config.nerfacto.num_nerf_samples_per_ray = 12
+    config.nerfacto.log2_hashmap_size = 14
+    config.nerfacto.max_res = 128
+    config.nerfacto.num_levels = 8
+    config.nerfacto.hidden_dim = 32
+    config.nerfacto.hidden_dim_color = 32
+    config.nerfacto.proposal_net_args_list = (
+        {"base_res": 16, "hidden_dim": 16, "log2_hashmap_size": 13,
+         "features_per_level": 2, "num_levels": 5, "max_res": 64},)
+    for k, v in kw.items():
+        setattr(config, k, v)
+    return config
+
+
+def nerf_config(**kw):
+    config = Config(
+        dataset_loader="synthetic", model_type="nerf", batch_size=512,
+        image_num_per_batch=4, near=0.5, far=6.0, max_steps=100,
+        lr_init=2e-3, lr_final=2e-4, lr_delay_steps=10,
+        grad_max_norm=0.0, grad_max_val=0.0, data_loss_type="mse",
+        enable_amp=False, enable_scene_contraction=False,
+        train_background_color="white", test_background_color="white",
+        interlevel_loss_mult=0.0, distortion_loss_mult=0.0,
+        data_coarse_loss_mult=0.1, render_chunk_size=512)
+    config.nerfacto.net_depth = 3
+    config.nerfacto.net_width = 64
+    config.nerfacto.num_coarse_nerf_samples_per_ray = 16
+    config.nerfacto.num_fine_nerf_samples_per_ray = 16
+    config.nerfacto.max_deg_point = 8
+    config.nerfacto.proposal_initial_sampler = "uniform"
+    for k, v in kw.items():
+        setattr(config, k, v)
+    return config
+
+
+def run_steps(config, mesh, num_steps):
+    dataset = load_dataset("train", "", config)
+    model, state, render_fn, train_step, _ = train_step_lib.setup_model(
+        config, jax.random.PRNGKey(0), mesh)
+    state = mesh_lib.replicate(state, mesh)
+    thresholds = jnp.ones(8)
+    rngs = jax.random.PRNGKey(1)
+    psnrs = []
+    for step, batch in zip(range(num_steps), dataset):
+        batch = mesh_lib.shard_batch(batch, mesh)
+        state, stats, rngs = train_step(
+            rngs, state, batch, jnp.asarray(step / config.max_steps),
+            thresholds)
+        psnrs.append(float(stats["psnr"]))
+    return psnrs
+
+
+def test_nerfacto_trains(mesh):
+    psnrs = run_steps(nerfacto_config(), mesh, 60)
+    assert np.isfinite(psnrs).all()
+    assert np.mean(psnrs[-10:]) > np.mean(psnrs[:5]) + 2, (
+        f"nerfacto PSNR flat: {np.mean(psnrs[:5]):.2f} -> "
+        f"{np.mean(psnrs[-10:]):.2f}")
+
+
+def test_vanilla_nerf_trains(mesh):
+    psnrs = run_steps(nerf_config(), mesh, 60)
+    assert np.isfinite(psnrs).all()
+    assert np.mean(psnrs[-10:]) > np.mean(psnrs[:5]) + 2, (
+        f"nerf PSNR flat: {np.mean(psnrs[:5]):.2f} -> "
+        f"{np.mean(psnrs[-10:]):.2f}")
+
+
+def test_nerfacto_nerfw_smoke(mesh):
+    config = nerfacto_config(transient_type="nerfw")
+    config.nerfacto.use_transient_embedding = True
+    config.nerfacto.use_appearance_embedding = True
+    psnrs = run_steps(config, mesh, 4)
+    assert np.isfinite(psnrs).all()
+
+
+def test_nerfacto_hanerf_smoke(mesh):
+    config = nerfacto_config(transient_type="hanerf")
+    config.nerfacto.use_transient_embedding = True
+    psnrs = run_steps(config, mesh, 4)
+    assert np.isfinite(psnrs).all()

@@ -1,0 +1,145 @@
+"""Tests for TPU ops: hash grid encoding and spherical harmonics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_hugs_tpu.ops import sh
+from nerf_hugs_tpu.ops.hashgrid import (HashGridEncoding, HashGridSpec,
+                                        hashgrid_encode, level_resolutions)
+
+
+def test_level_resolutions_growth():
+    res = level_resolutions(16, 16, 2048)
+    assert res[0] == 16
+    assert res[-1] == 2048
+    assert np.all(np.diff(res) >= 0)
+    # Growth matches tcnn's formula (nerfacto.py:713).
+    g = np.exp((np.log(2048) - np.log(16)) / 15)
+    np.testing.assert_allclose(res, np.floor(16 * g ** np.arange(16)))
+
+
+def make_spec(**kw):
+    defaults = dict(num_levels=4, features_per_level=2, log2_hashmap_size=10,
+                    base_res=4, max_res=32)
+    defaults.update(kw)
+    return HashGridSpec(**defaults)
+
+
+def test_hashgrid_shapes_and_determinism():
+    spec = make_spec()
+    rng = jax.random.PRNGKey(0)
+    table = jax.random.normal(
+        rng, (spec.num_levels * spec.table_size, spec.features_per_level))
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (37, 3))
+    out = hashgrid_encode(table, pos, spec)
+    assert out.shape == (37, spec.output_dim)
+    out2 = hashgrid_encode(table, pos, spec)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # Arbitrary leading batch shapes.
+    out3 = hashgrid_encode(table, pos.reshape(37, 1, 3), spec)
+    np.testing.assert_allclose(np.asarray(out3).reshape(37, -1),
+                               np.asarray(out), atol=1e-6)
+
+
+def test_hashgrid_interpolation_is_trilinear():
+    # With a dense level, encoding at a grid vertex returns that vertex's
+    # feature exactly; midway between two vertices returns their average.
+    spec = make_spec(num_levels=1, base_res=4, max_res=4, log2_hashmap_size=10)
+    table = jax.random.normal(jax.random.PRNGKey(0),
+                              (spec.table_size, spec.features_per_level))
+    # Vertex (1, 2, 3) of the res-4 grid -> position (1/4, 2/4, 3/4).
+    pos = jnp.array([[0.25, 0.5, 0.75]])
+    idx = 1 + 2 * 5 + 3 * 25  # x + y*(res+1) + z*(res+1)^2
+    got = hashgrid_encode(table, pos, spec)
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(table[idx]),
+                               atol=1e-5)
+    # Midpoint between vertices (1,2,3) and (2,2,3).
+    pos_mid = jnp.array([[0.375, 0.5, 0.75]])
+    got_mid = hashgrid_encode(table, pos_mid, spec)
+    want = 0.5 * (np.asarray(table[idx]) + np.asarray(table[idx + 1]))
+    np.testing.assert_allclose(np.asarray(got_mid)[0], want, atol=1e-5)
+
+
+def test_hashgrid_continuity():
+    spec = make_spec()
+    table = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (spec.num_levels * spec.table_size, spec.features_per_level))
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=0.1,
+                             maxval=0.9)
+    eps = 1e-5
+    out0 = hashgrid_encode(table, pos, spec)
+    out1 = hashgrid_encode(table, pos + eps, spec)
+    assert float(jnp.max(jnp.abs(out1 - out0))) < 1e-2
+
+
+def test_hashgrid_gradient_scatter():
+    # d loss / d table is nonzero exactly at touched entries.
+    spec = make_spec(num_levels=2)
+    table = jnp.zeros((spec.num_levels * spec.table_size,
+                       spec.features_per_level))
+    pos = jnp.array([[0.3, 0.6, 0.1]])
+    g = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, pos, spec)))(table)
+    touched = int(jnp.sum(jnp.any(g != 0, axis=-1)))
+    # 8 corners per level, possibly with hash collisions: 1 < touched <= 16.
+    assert 1 <= touched <= 16
+    # Weights per level sum to 1 => per-level grad feature sums to 1.
+    np.testing.assert_allclose(float(g[:spec.table_size, 0].sum()), 1.0,
+                               rtol=1e-5)
+
+
+def test_hashgrid_module_init():
+    spec = make_spec()
+    mod = HashGridEncoding(spec)
+    pos = jnp.ones((5, 3)) * 0.5
+    variables = mod.init(jax.random.PRNGKey(0), pos)
+    table = variables["params"]["table"]
+    assert table.shape == (spec.num_levels * spec.table_size,
+                           spec.features_per_level)
+    assert float(jnp.max(jnp.abs(table))) <= 1e-4  # tcnn-style uniform init
+    out = mod.apply(variables, pos)
+    assert out.shape == (5, spec.output_dim)
+
+
+def test_hashgrid_2d():
+    spec = make_spec(num_dims=2)
+    table = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (spec.num_levels * spec.table_size, spec.features_per_level))
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (11, 2))
+    out = hashgrid_encode(table, pos, spec)
+    assert out.shape == (11, spec.output_dim)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+# -- spherical harmonics ------------------------------------------------------
+
+def _fibonacci_sphere(n):
+    i = np.arange(n) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    theta = np.pi * (1 + 5**0.5) * i
+    return np.stack([np.cos(theta) * np.sin(phi),
+                     np.sin(theta) * np.sin(phi), np.cos(phi)], -1)
+
+
+def test_sh_shapes():
+    dirs = jnp.asarray(_fibonacci_sphere(100), jnp.float32)
+    for deg in [1, 2, 3, 4]:
+        out = sh.sh_encode(dirs, degree=deg)
+        assert out.shape == (100, deg * deg)
+
+
+def test_sh_orthonormality():
+    # Monte-Carlo over the sphere: int Y_i Y_j dOmega = delta_ij.
+    dirs = jnp.asarray(_fibonacci_sphere(200000), jnp.float32)
+    Y = np.asarray(sh.sh_encode(dirs, degree=4), np.float64)
+    gram = (Y.T @ Y) * (4 * np.pi / Y.shape[0])
+    np.testing.assert_allclose(gram, np.eye(16), atol=5e-3)
+
+
+def test_sh_l0_constant():
+    dirs = jnp.asarray(_fibonacci_sphere(10), jnp.float32)
+    out = np.asarray(sh.sh_encode(dirs, degree=4))
+    np.testing.assert_allclose(out[:, 0], 0.28209479, rtol=1e-5)
