@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Evaluation driver — renders a split, scores, and saves images.
+
+MipNeRF360 style:  python -m eval --gin_configs=... --gin_bindings=...
+nerfacto style:    python eval.py --config X.yml --data_dir D --save_dir S
+                       [--eval_data train|test] [--original_name]
+                       [--only_pred_gt]
+
+Flow parity: MipNeRF360/eval.py:43-255 + nerfacto/eval.py:37-146 — restore
+latest (finetune-preferring) checkpoint, render every image of the split
+through the chunked renderer, float64 color-correct against GT, quantize to
+the uint8 grid before metrics (eval_quantize_metrics), optional border crop,
+save `{idx}_color.png`/`{idx}_gt.png` (+depth TIFF) and per-image metric
+text files. `--original_name --only_pred_gt` writes `{name}_color/gt.png`
+pairs into `{save_dir}/{split}_preds/` — the HuGS pipeline's input contract
+(scripts/hugs_kubric.sh:24-29). Can poll for new checkpoints when
+eval_only_once=False.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--gin_configs", action="append", default=[])
+    parser.add_argument("--gin_bindings", action="append", default=[])
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--save_dir", type=str, default=None)
+    parser.add_argument("--eval_data", type=str, default=None,
+                        choices=["train", "test"])
+    parser.add_argument("--original_name", action="store_true")
+    parser.add_argument("--only_pred_gt", action="store_true")
+    parser.add_argument("--logtostderr", action="store_true")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from train import load_config_from_args
+    config = load_config_from_args(args)
+    if args.eval_data:
+        config.eval_data = args.eval_data
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_hugs_tpu.data import load_dataset
+    from nerf_hugs_tpu.metrics import image as nh_image
+    from nerf_hugs_tpu.parallel import mesh as mesh_lib
+    from nerf_hugs_tpu.train import checkpoints
+    from nerf_hugs_tpu.train import step as train_step_lib
+    from nerf_hugs_tpu.train.render_image import render_image
+    from nerf_hugs_tpu.utils import io as nh_io
+
+    mesh = mesh_lib.make_mesh()
+    rng = jax.random.PRNGKey(20200823)
+    model, state, render_eval_fn, _, _ = train_step_lib.setup_model(
+        config, rng, mesh)
+
+    dataset = load_dataset(config.eval_data, config.data_dir, config,
+                           is_training=False)
+    metric_harness = nh_image.MetricHarness()
+
+    out_dir = os.path.join(config.checkpoint_dir,
+                           f"{config.eval_data}_preds")
+    if config.eval_save_output and jax.process_index() == 0:
+        os.makedirs(out_dir, exist_ok=True)
+
+    last_step = None
+    while True:
+        # Prefer the finetune checkpoint when present (eval.py:75-77).
+        ft_dir = os.path.join(config.checkpoint_dir, "finetune")
+        ckpt_dir = ft_dir if checkpoints.latest_step(ft_dir) is not None \
+            else config.checkpoint_dir
+        step = checkpoints.latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoint under {config.checkpoint_dir}")
+        if step == last_step:
+            if config.eval_only_once:
+                break
+            time.sleep(10)
+            continue
+        last_step = step
+        state = checkpoints.restore_params(ckpt_dir, state, step)
+        print(f"Evaluating checkpoint step {step} from {ckpt_dir}")
+
+        all_metrics = []
+        num_eval = min(dataset.size, config.eval_dataset_limit)
+        for idx in range(num_eval):
+            batch = next(dataset)
+            if idx % config.eval_render_interval != 0:
+                continue
+            t0 = time.time()
+            rendering = render_image(render_eval_fn, batch.rays, 1.0,
+                                     state.params, config, mesh)
+            print(f"image {idx}/{num_eval} rendered in "
+                  f"{time.time() - t0:.2f}s")
+            if jax.process_index() != 0:
+                continue
+
+            rgb = np.clip(np.nan_to_num(rendering["rgb"]), 0, 1)
+            gt = None if batch.rgb is None else np.asarray(batch.rgb)
+            name = (dataset.image_name(idx) if args.original_name
+                    and hasattr(dataset, "image_name") else f"{idx:03d}")
+
+            if gt is not None:
+                rgb_cc = nh_image.color_correct(rgb, gt)
+                if config.eval_quantize_metrics:
+                    q = lambda z: np.round(z * 255) / 255
+                    rgb_m, rgb_cc_m, gt_m = q(rgb), q(rgb_cc), q(gt)
+                else:
+                    rgb_m, rgb_cc_m, gt_m = rgb, rgb_cc, gt
+                if config.eval_crop_borders > 0:
+                    c = config.eval_crop_borders
+                    crop = lambda z: z[c:-c, c:-c]
+                    rgb_m, rgb_cc_m, gt_m = map(crop, (rgb_m, rgb_cc_m, gt_m))
+                metrics = metric_harness(jnp.asarray(rgb_m), jnp.asarray(gt_m))
+                metrics_cc = metric_harness(jnp.asarray(rgb_cc_m),
+                                            jnp.asarray(gt_m),
+                                            lambda s: f"{s}_cc")
+                metrics.update(metrics_cc)
+                all_metrics.append(metrics)
+                print("  " + " ".join(f"{k}={v:.4f}"
+                                      for k, v in metrics.items()))
+
+            if config.eval_save_output:
+                nh_io.save_img_u8(rgb, os.path.join(
+                    out_dir, f"{name}_color.png"))
+                if gt is not None:
+                    nh_io.save_img_u8(gt, os.path.join(
+                        out_dir, f"{name}_gt.png"))
+                if not args.only_pred_gt:
+                    if gt is not None:
+                        nh_io.save_img_u8(rgb_cc, os.path.join(
+                            out_dir, f"{name}_color_cc.png"))
+                    if "distance_mean" in rendering:
+                        nh_io.save_img_f32(
+                            np.asarray(rendering["distance_mean"]),
+                            os.path.join(out_dir, f"{name}_depth.tiff"))
+                    if gt is not None:
+                        with open(os.path.join(
+                                out_dir, f"{name}_metrics.txt"), "w") as f:
+                            for k, v in metrics.items():
+                                f.write(f"{k} {v}\n")
+
+        if all_metrics and jax.process_index() == 0:
+            mean = {k: float(np.mean([m[k] for m in all_metrics]))
+                    for k in all_metrics[0]}
+            print("mean: " + " ".join(f"{k}={v:.4f}"
+                                      for k, v in mean.items()))
+            with open(os.path.join(
+                    config.checkpoint_dir,
+                    f"metrics_{config.eval_data}_{step}.txt"), "w") as f:
+                for k, v in mean.items():
+                    f.write(f"{k} {v}\n")
+        if config.eval_only_once:
+            break
+
+    print("evaluation complete")
+
+
+if __name__ == "__main__":
+    main()

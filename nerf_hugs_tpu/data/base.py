@@ -85,10 +85,13 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
         self.embed_idxs: np.ndarray = None
         self.camtoworlds: np.ndarray = None
         self.pixtocams: np.ndarray = None
+        self.image_names: Optional[List[str]] = None
 
         self._load_renderings(config)
 
         self._n_examples = self.camtoworlds.shape[0]
+        if self.image_names is None:
+            self.image_names = [f"{i:03d}" for i in range(self._n_examples)]
         self.cameras = (self.pixtocams, self.camtoworlds, self.pixtocam_ndc)
 
         self._next_fn = self._next_train if is_training else self._next_test
@@ -114,6 +117,9 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
     @property
     def size(self) -> int:
         return self._n_examples
+
+    def image_name(self, cam_idx: int) -> str:
+        return self.image_names[cam_idx]
 
     # -- batch construction ---------------------------------------------------
 

@@ -70,6 +70,8 @@ class Blender(base.Dataset):
             c2ws.append(np.array(frame["transform_matrix"], np.float32)[:3, :4])
             p2cs.append(camera_utils.get_pixtocam(focal, width, height))
 
+        self.image_names = [
+            os.path.basename(f["file_path"]) for f in meta["frames"]]
         self.heights = np.array(heights)
         self.widths = np.array(widths)
         self.focals = np.array(focals, np.float32)

@@ -124,6 +124,7 @@ class Kubric(base.Dataset):
             c2ws.append(camtoworld)
             p2cs.append(pixtocam)
 
+        self.image_names = list(names)
         self.heights = np.array(heights)
         self.widths = np.array(widths)
         self.focals = np.array(focals, np.float32)

@@ -1,0 +1,105 @@
+"""Integration: the train.py and eval.py CLIs on a fake kubric scene.
+
+Exercises config loading (gin bindings), checkpoint save/restore,
+two-stage finetune, chunked rendering, metrics, and image output layout
+(including the HuGS `--original_name --only_pred_gt` contract).
+"""
+
+import glob
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tests.test_data import make_fake_kubric_scene
+
+
+def tiny_bindings(scene_dir, ckpt_dir, extra=()):
+    return [
+        "Config.dataset_loader = 'kubric'",
+        f"Config.data_dir = '{scene_dir}'",
+        f"Config.checkpoint_dir = '{ckpt_dir}'",
+        "Config.factor = 1",
+        "Config.batch_size = 128",
+        "Config.image_num_per_batch = 2",
+        "Config.max_steps = 8",
+        "Config.checkpoint_every = 8",
+        "Config.print_every = 4",
+        "Config.train_render_every = 8",
+        "Config.render_chunk_size = 128",
+        "Config.near = 0.1",
+        "Config.far = 4.0",
+        "Config.grad_max_norm = 0.0",
+        "Config.data_loss_type = 'mse'",
+        "Config.vis_num_rays = 2",
+        "Model.num_prop_samples = 8",
+        "Model.num_nerf_samples = 4",
+        "Model.num_levels = 2",
+        "NerfMLP.net_depth = 2",
+        "NerfMLP.net_width = 16",
+        "NerfMLP.bottleneck_width = 8",
+        "NerfMLP.net_width_viewdirs = 8",
+        "NerfMLP.max_deg_point = 4",
+        "PropMLP.net_depth = 2",
+        "PropMLP.net_width = 8",
+        "PropMLP.disable_rgb = True",
+        "PropMLP.max_deg_point = 4",
+    ] + list(extra)
+
+
+def test_train_then_eval_cli(tmp_path):
+    import train as train_driver
+    import eval as eval_driver
+
+    scene = tmp_path / "scene"
+    ckpt = tmp_path / "ckpt"
+    make_fake_kubric_scene(str(scene))
+
+    argv = []
+    for b in tiny_bindings(str(scene), str(ckpt)):
+        argv += [f"--gin_bindings={b}"]
+    train_driver.main(argv)
+
+    assert (ckpt / "checkpoint_8").exists()
+    assert (ckpt / "config.gin").exists()
+
+    eval_driver.main(argv + ["--eval_data=test"])
+    preds = sorted(glob.glob(str(ckpt / "test_preds" / "*_color.png")))
+    gts = sorted(glob.glob(str(ckpt / "test_preds" / "*_gt.png")))
+    assert len(preds) == 2 and len(gts) == 2
+    metrics_files = glob.glob(str(ckpt / "metrics_test_*.txt"))
+    assert metrics_files
+    text = open(metrics_files[0]).read()
+    assert "psnr" in text and "ssim" in text
+
+
+def test_train_finetune_and_hugs_eval_contract(tmp_path):
+    import train as train_driver
+    import eval as eval_driver
+
+    scene = tmp_path / "scene"
+    ckpt = tmp_path / "ckpt"
+    make_fake_kubric_scene(str(scene))
+
+    extra = [
+        "Config.finetune_enable = True",
+        "Config.finetune_max_steps = 4",
+        "Config.finetune_batch_size = 128",
+        "Config.finetune_image_num_per_batch = 2",
+        "Model.num_glo_features = 4",
+        "Config.train_render_every = 0",
+    ]
+    argv = [f"--gin_bindings={b}"
+            for b in tiny_bindings(str(scene), str(ckpt), extra)]
+    train_driver.main(argv)
+    assert (ckpt / "finetune" / "checkpoint_4").exists()
+
+    # HuGS mask-generation input contract: train_preds/{name}_{color,gt}.png.
+    eval_driver.main(argv + ["--eval_data=train", "--original_name",
+                             "--only_pred_gt"])
+    colors = sorted(glob.glob(str(ckpt / "train_preds" / "*_color.png")))
+    names = {os.path.basename(p) for p in colors}
+    assert names == {"00000_color.png", "00001_color.png", "00002_color.png"}

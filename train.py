@@ -1,0 +1,248 @@
+#!/usr/bin/env python
+"""Training driver — CLI-compatible with both reference stacks.
+
+MipNeRF360 style (scripts/train_mipnerf360_*.sh):
+  python -m train --gin_configs=configs/X.gin \
+      --gin_bindings="Config.data_dir = '...'" \
+      --gin_bindings="Config.checkpoint_dir = '...'"
+nerfacto style (scripts/train_nerfacto_*.sh):
+  python train.py --config configs/X.yml --data_dir ... --save_dir ...
+
+Flow parity: MipNeRF360/train.py:45-291 — two-stage ['train', 'finetune']
+loop (finetune re-optimizes embeddings on the left half of test images),
+checkpoint/resume, stats buffering with train_steps_per_sec /
+train_rays_per_sec counters, RobustNeRF threshold feedback across steps,
+periodic in-train test renders with metrics + visualization suite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--gin_configs", action="append", default=[],
+                        help="gin config file(s), MipNeRF360 style")
+    parser.add_argument("--gin_bindings", action="append", default=[],
+                        help="gin binding overrides")
+    parser.add_argument("--config", type=str, default=None,
+                        help="YAML config path, nerfacto style")
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--save_dir", type=str, default=None,
+                        help="checkpoint dir (nerfacto name)")
+    parser.add_argument("--logtostderr", action="store_true")
+    return parser.parse_args(argv)
+
+
+def load_config_from_args(args):
+    from nerf_hugs_tpu.configs import gin_parser, yaml_loader
+    if args.config:
+        config = yaml_loader.load_yaml_config(args.config)
+    else:
+        config = gin_parser.parse_gin_configs(args.gin_configs,
+                                              args.gin_bindings)
+    if args.data_dir:
+        config.data_dir = args.data_dir
+    if args.save_dir:
+        config.checkpoint_dir = args.save_dir
+    if config.checkpoint_dir is None:
+        raise ValueError("checkpoint_dir/--save_dir must be set")
+    if config.data_dir is None:
+        raise ValueError("data_dir must be set")
+    return config
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    config = load_config_from_args(args)
+
+    import jax
+    import jax.numpy as jnp
+    from flax.metrics import tensorboard
+
+    from nerf_hugs_tpu.configs import gin_parser
+    from nerf_hugs_tpu.data import load_dataset
+    from nerf_hugs_tpu.metrics import image as nh_image
+    from nerf_hugs_tpu.parallel import mesh as mesh_lib
+    from nerf_hugs_tpu.train import checkpoints
+    from nerf_hugs_tpu.train import step as train_step_lib
+    from nerf_hugs_tpu.train.render_image import render_image
+    from nerf_hugs_tpu.utils import io as nh_io
+    from nerf_hugs_tpu.utils import vis as nh_vis
+
+    if config.batch_size % jax.device_count() != 0:
+        raise ValueError(
+            f"batch_size {config.batch_size} must divide evenly by "
+            f"{jax.device_count()} devices")
+
+    mesh = mesh_lib.make_mesh()
+    rng = jax.random.PRNGKey(20200823)
+    # Per-host RNG offset for multi-host data parallelism (train.py:47-49).
+    rng = jax.random.fold_in(rng, jax.process_index())
+
+    if jax.process_index() == 0:
+        os.makedirs(config.checkpoint_dir, exist_ok=True)
+        with open(os.path.join(config.checkpoint_dir, "config.gin"), "w") as f:
+            f.write(gin_parser.config_str(config))
+
+    test_dataset = load_dataset("test", config.data_dir, config,
+                                is_training=False)
+    metric_harness = nh_image.MetricHarness()
+
+    key, rng = jax.random.split(rng)
+    model, state, render_eval_fn, train_step, lr_fn = \
+        train_step_lib.setup_model(config, key, mesh)
+
+    num_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"Number of parameters being optimized: {num_params}")
+
+    stages = ["train"] + (["finetune"] if config.finetune_enable else [])
+    gc.disable()  # matching the reference; we collect manually (train.py:81)
+
+    for stage in stages:
+        is_finetune = stage == "finetune"
+        if is_finetune:
+            # Restore the final train-stage state, then rewrap with the
+            # embeddings-only optimizer.
+            state = checkpoints.restore_checkpoint(config.checkpoint_dir,
+                                                   state)
+            state, train_step, lr_fn = train_step_lib.setup_finetune_model(
+                config, model, state, mesh)
+            ckpt_dir = os.path.join(config.checkpoint_dir, "finetune")
+            max_steps = config.finetune_max_steps
+            dataset = load_dataset(
+                "test", config.data_dir, config, is_training=True,
+                sample_from_half_image=True,
+                batch_size=config.finetune_batch_size,
+                patch_size=config.finetune_patch_size,
+                patch_dilation=config.finetune_patch_dilation,
+                image_num_per_batch=config.finetune_image_num_per_batch)
+        else:
+            ckpt_dir = config.checkpoint_dir
+            max_steps = config.max_steps
+            dataset = load_dataset("train", config.data_dir, config,
+                                   is_training=True)
+
+        state = checkpoints.restore_checkpoint(ckpt_dir, state)
+        init_step = int(state.step) + 1
+        state = mesh_lib.replicate(state, mesh)
+
+        if config.early_exit_steps is not None and not is_finetune:
+            num_steps = min(max_steps, config.early_exit_steps)
+        else:
+            num_steps = max_steps
+
+        summary_writer = None
+        if jax.process_index() == 0:
+            summary_writer = tensorboard.SummaryWriter(
+                os.path.join(config.checkpoint_dir, f"tb_{stage}"))
+
+        inlier_thresholds = jnp.ones(8)  # robustnerf carried state
+        rngs = jax.random.fold_in(rng, 1 if is_finetune else 0)
+        stats_buffer = []
+        train_start_time = time.time()
+        total_time, total_steps = 0, 0
+        reset_timer = True
+
+        for step, batch in zip(range(init_step, num_steps + 1), dataset):
+            if reset_timer:
+                train_start_time = time.time()
+                reset_timer = False
+            batch = mesh_lib.shard_batch(batch, mesh)
+            train_frac = jnp.clip((step - 1) / (num_steps - 1), 0, 1)
+            state, stats, rngs = train_step(rngs, state, batch, train_frac,
+                                            inlier_thresholds)
+            if config.transient_type == "robustnerf" and not is_finetune:
+                inlier_thresholds = stats["robust_inlier_threshold"]
+
+            if step % config.gc_every == 0:
+                gc.collect()
+
+            stats_buffer.append(stats)
+            if jax.process_index() == 0 and (
+                    step == init_step or step % config.print_every == 0):
+                stats_host = jax.device_get(stats_buffer)
+                elapsed = time.time() - train_start_time
+                steps_per_sec = len(stats_buffer) / max(elapsed, 1e-9)
+                rays_per_sec = config.batch_size * steps_per_sec
+                total_time += elapsed
+                total_steps += len(stats_buffer)
+                avg_loss = float(np.mean(
+                    [s["loss"] for s in stats_host]))
+                avg_psnr = float(np.mean(
+                    [s["psnr"] for s in stats_host]))
+                lr = float(lr_fn(step))
+                print(f"[{stage}] {step}/{num_steps}: "
+                      f"loss={avg_loss:.5f} psnr={avg_psnr:.3f} "
+                      f"lr={lr:.2e} {steps_per_sec:.2f} steps/s "
+                      f"{rays_per_sec:.0f} rays/s")
+                if summary_writer is not None:
+                    summary_writer.scalar("train_loss", avg_loss, step)
+                    summary_writer.scalar("train_psnr", avg_psnr, step)
+                    summary_writer.scalar("train_steps_per_sec",
+                                          steps_per_sec, step)
+                    summary_writer.scalar("train_rays_per_sec",
+                                          rays_per_sec, step)
+                    summary_writer.scalar("learning_rate", lr, step)
+                    for name, val in jax.device_get(
+                            stats_host[-1]["losses"]).items():
+                        summary_writer.scalar(f"train_losses/{name}",
+                                              float(val), step)
+                    # PSNR against wall time (robust across preemptions,
+                    # train.py:210-213).
+                    summary_writer.scalar("train_avg_psnr_timed", avg_psnr,
+                                          int(total_time))
+                stats_buffer = []
+                reset_timer = True
+
+            if step % config.checkpoint_every == 0 or step == num_steps:
+                checkpoints.save_checkpoint(
+                    ckpt_dir, jax.device_get(state), step)
+
+            # In-train showcase render (train.py:239-281).
+            if config.train_render_every > 0 and (
+                    step % config.train_render_every == 0
+                    or step == num_steps):
+                test_batch = next(test_dataset)
+                rendering = render_image(
+                    render_eval_fn, test_batch.rays, float(train_frac),
+                    state.params, config, mesh)
+                if jax.process_index() == 0 and test_batch.rgb is not None:
+                    metrics = metric_harness(
+                        jnp.asarray(rendering["rgb"]),
+                        jnp.asarray(test_batch.rgb))
+                    print(f"[{stage}] {step}: eval "
+                          + " ".join(f"{k}={v:.4f}"
+                                     for k, v in metrics.items()))
+                    if summary_writer is not None:
+                        for k, v in metrics.items():
+                            summary_writer.scalar(f"eval_{k}", v, step)
+                        suite = nh_vis.visualize_suite(
+                            {k: jnp.asarray(v) for k, v in rendering.items()
+                             if not k.startswith("ray_")} |
+                            ({k: [jnp.asarray(x) for x in rendering[k]]
+                              for k in rendering if k.startswith("ray_")}),
+                            test_batch.rays)
+                        for k, v in suite.items():
+                            arr = np.asarray(v)
+                            if arr.ndim == 2:
+                                arr = arr[..., None]
+                            summary_writer.image(f"render_{k}",
+                                                 np.clip(arr, 0, 1), step)
+
+        if summary_writer is not None:
+            summary_writer.flush()
+
+    print("training complete")
+
+
+if __name__ == "__main__":
+    main()
