@@ -1,0 +1,301 @@
+"""HuGS tests: heuristics against hand-built cases, SAM pipeline with a tiny
+random model, weight-conversion structure parity, and the full
+generate_static_mask pipeline on a synthetic scene."""
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_hugs_tpu.hugs import heuristics
+
+
+def test_delete_same_points():
+    pts = np.array([[0.0, 0], [0.05, 0], [1, 1], [1.04, 1], [3, 3]])
+    out = heuristics.delete_same_points(pts, 0.1)
+    assert len(out) == 3
+    np.testing.assert_allclose(out, [[0, 0], [1, 1], [3, 3]], atol=0.05)
+
+
+def test_delete_outlier_points():
+    rng = np.random.RandomState(0)
+    cluster = rng.randn(30, 2)
+    outlier = np.array([[100.0, 100.0]])
+    out = heuristics.delete_outlier_points(
+        np.concatenate([cluster, outlier]))
+    assert len(out) == 30
+
+
+def test_kmeans_reduce():
+    rng = np.random.RandomState(0)
+    pts = np.concatenate([rng.randn(20, 2), rng.randn(20, 2) + 10])
+    out = heuristics.kmeans_reduce(pts, 2)
+    assert 1 <= len(out) <= 2
+    # Selected points are actual input points.
+    for p in out:
+        assert np.min(np.linalg.norm(pts - p, axis=-1)) < 1e-9
+
+
+def test_fill_gap_closes_holes():
+    mask = np.ones((20, 20, 1), np.float32)
+    mask[10, 10] = 0  # pinhole
+    out = heuristics.fill_gap(mask, 5)
+    assert out[10, 10, 0] == 1.0
+    # Doesn't erase the mask.
+    assert out.sum() >= mask.sum()
+
+
+def test_intersect_masks():
+    coarse = np.zeros((10, 10, 1), np.float32)
+    coarse[:5] = 1.0
+    fine = np.zeros((2, 10, 10, 1), np.float32)
+    fine[0, :6] = 1.0    # 5/6 covered -> selected
+    fine[1, 5:] = 1.0    # 0 covered -> dropped
+    out = heuristics.intersect_masks(coarse, fine, 0.5)
+    np.testing.assert_array_equal(out[..., 0], fine[0, ..., 0])
+
+
+def test_erode_mask_shrinks():
+    mask = np.zeros((20, 20, 1), np.float32)
+    mask[5:15, 5:15] = 1.0
+    out = heuristics.erode_mask(mask, 5)
+    assert out.sum() < mask.sum()
+    assert out[9, 9, 0] == 1.0 and out[5, 5, 0] == 0.0
+
+
+def test_residual_masks():
+    rng = np.random.RandomState(0)
+    gt = rng.rand(16, 16, 3).astype(np.float32)
+    pred = gt.copy()
+    pred[:4, :4] += 0.5  # a high-residual (transient) corner
+    residual, base, upper = heuristics.residual_masks(pred, gt, 0.9)
+    assert base[:4, :4].mean() < 0.2   # transient excluded from base
+    assert base[8:, 8:].mean() > 0.9   # static kept
+    assert upper.sum() >= base.sum()   # upper is a superset
+
+
+def test_complete_sam_regions_covers_everything():
+    h, w = 12, 16
+    m1 = np.zeros((h, w)); m1[:6, :8] = 1
+    m2 = np.zeros((h, w)); m2[6:, 8:] = 1
+    regions = heuristics.complete_sam_regions([m1, m2], h, w)
+    # Every pixel in exactly one region.
+    total = regions.sum(axis=0)
+    np.testing.assert_array_equal(total[..., 0], np.ones((h, w)))
+    assert regions.shape[0] >= 3  # two SAM + at least one fill region
+
+
+def test_stability_score():
+    logits = np.full((1, 8, 8), 5.0)
+    logits[0, :4] = -5.0
+    score = heuristics.calculate_stability_score(logits, 0.0, 1.0)
+    np.testing.assert_allclose(score, 1.0)  # binarization-stable
+    logits2 = np.full((1, 8, 8), 0.5)  # between offsets -> unstable
+    score2 = heuristics.calculate_stability_score(logits2, 0.0, 1.0)
+    np.testing.assert_allclose(score2, 0.0)
+
+
+def test_fuse_masks_rule():
+    h = w = 16
+    sam_regions = heuristics.complete_sam_regions(
+        [np.concatenate([np.ones((h, w // 2)), np.zeros((h, w // 2))], 1)],
+        h, w)
+    sfm = np.zeros((h, w, 1), np.float32); sfm[:, :w // 2] = 1
+    base = np.zeros((h, w, 1), np.float32)
+    upper = np.ones((h, w, 1), np.float32)
+    fused = heuristics.fuse_masks(sfm, base, upper, sam_regions, 0, 0)
+    np.testing.assert_array_equal(fused[:, :w // 2, 0], 1.0)
+    np.testing.assert_array_equal(fused[:, w // 2:, 0], 0.0)
+
+
+# -- SAM ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_sam():
+    from nerf_hugs_tpu.hugs.sam.predictor import SamPredictor, build_sam
+    sam, variables = build_sam("vit_t", image_size=64, window_size=2)
+    return SamPredictor(sam, variables)
+
+
+def test_sam_predictor_shapes(tiny_sam):
+    rng = np.random.RandomState(0)
+    image = (rng.rand(48, 60, 3) * 255).astype(np.uint8)
+    tiny_sam.set_image(image)
+    pts = tiny_sam.apply_coords(
+        np.array([[[30.0, 24.0]], [[10.0, 10.0]]]), (48, 60))
+    masks, iou = tiny_sam.predict_batched(pts, np.ones((2, 1)))
+    assert masks.shape == (2, 3, 48, 60)
+    assert iou.shape == (2, 3)
+    assert np.all(np.isfinite(masks))
+
+
+def test_sam_amg_pipeline(tiny_sam):
+    from nerf_hugs_tpu.hugs.sam.amg import SamAutomaticMaskGenerator
+    gen = SamAutomaticMaskGenerator(
+        predictor=tiny_sam, points_per_side=4, points_per_batch=16,
+        pred_iou_thresh=0.0, stability_score_thresh=0.0, crop_n_layers=0,
+        min_mask_region_area=0)
+    rng = np.random.RandomState(1)
+    image = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    results = gen.generate(image)
+    for r in results:
+        assert r["segmentation"].shape == (48, 48)
+        assert r["area"] == int(r["segmentation"].sum())
+
+
+def test_weight_conversion_structure():
+    """A synthetic torch-layout state dict converts into exactly the flax
+    init structure (shapes included)."""
+    import torch
+
+    from nerf_hugs_tpu.hugs.sam import modeling, weights
+    from nerf_hugs_tpu.hugs.sam.predictor import build_sam
+
+    config = modeling.make_sam_config("vit_t", image_size=64, window_size=2)
+    sam, variables = build_sam("vit_t", image_size=64, window_size=2)
+
+    # Build a torch-style state dict with the official key layout.
+    sd = {}
+    dim, depth, heads = (config.encoder_embed_dim, config.encoder_depth,
+                         config.encoder_num_heads)
+    head_dim = dim // heads
+    grid = config.image_size // config.patch_size
+    t = lambda *shape: torch.zeros(shape)
+    sd["image_encoder.patch_embed.proj.weight"] = t(dim, 3, 16, 16)
+    sd["image_encoder.patch_embed.proj.bias"] = t(dim)
+    sd["image_encoder.pos_embed"] = t(1, grid, grid, dim)
+    for i in range(depth):
+        p = f"image_encoder.blocks.{i}"
+        sd[f"{p}.norm1.weight"] = t(dim); sd[f"{p}.norm1.bias"] = t(dim)
+        sd[f"{p}.norm2.weight"] = t(dim); sd[f"{p}.norm2.bias"] = t(dim)
+        sd[f"{p}.attn.qkv.weight"] = t(dim * 3, dim)
+        sd[f"{p}.attn.qkv.bias"] = t(dim * 3)
+        sd[f"{p}.attn.proj.weight"] = t(dim, dim)
+        sd[f"{p}.attn.proj.bias"] = t(dim)
+        size = (config.window_size if i not in
+                config.encoder_global_attn_indexes else grid)
+        sd[f"{p}.attn.rel_pos_h"] = t(2 * size - 1, head_dim)
+        sd[f"{p}.attn.rel_pos_w"] = t(2 * size - 1, head_dim)
+        sd[f"{p}.mlp.lin1.weight"] = t(dim * 4, dim)
+        sd[f"{p}.mlp.lin1.bias"] = t(dim * 4)
+        sd[f"{p}.mlp.lin2.weight"] = t(dim, dim * 4)
+        sd[f"{p}.mlp.lin2.bias"] = t(dim)
+    c = config.prompt_embed_dim
+    sd["image_encoder.neck.0.weight"] = t(c, dim, 1, 1)
+    sd["image_encoder.neck.1.weight"] = t(c)
+    sd["image_encoder.neck.1.bias"] = t(c)
+    sd["image_encoder.neck.2.weight"] = t(c, c, 3, 3)
+    sd["image_encoder.neck.3.weight"] = t(c)
+    sd["image_encoder.neck.3.bias"] = t(c)
+    sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = \
+        t(2, c // 2)
+    for i in range(4):
+        sd[f"prompt_encoder.point_embeddings.{i}.weight"] = t(1, c)
+    sd["prompt_encoder.not_a_point_embed.weight"] = t(1, c)
+    sd["prompt_encoder.no_mask_embed.weight"] = t(1, c)
+    md = "mask_decoder"
+    for i in range(2):
+        p = f"{md}.transformer.layers.{i}"
+        for attn, rate in [("self_attn", 1), ("cross_attn_token_to_image", 2),
+                           ("cross_attn_image_to_token", 2)]:
+            inner = c // rate
+            for proj, (o, in_d) in {"q_proj": (inner, c), "k_proj": (inner, c),
+                                    "v_proj": (inner, c),
+                                    "out_proj": (c, inner)}.items():
+                sd[f"{p}.{attn}.{proj}.weight"] = t(o, in_d)
+                sd[f"{p}.{attn}.{proj}.bias"] = t(o)
+        for n in ["norm1", "norm2", "norm3", "norm4"]:
+            sd[f"{p}.{n}.weight"] = t(c); sd[f"{p}.{n}.bias"] = t(c)
+        sd[f"{p}.mlp.lin1.weight"] = t(2048, c)
+        sd[f"{p}.mlp.lin1.bias"] = t(2048)
+        sd[f"{p}.mlp.lin2.weight"] = t(c, 2048)
+        sd[f"{p}.mlp.lin2.bias"] = t(c)
+    inner = c // 2
+    for proj, (o, in_d) in {"q_proj": (inner, c), "k_proj": (inner, c),
+                            "v_proj": (inner, c),
+                            "out_proj": (c, inner)}.items():
+        sd[f"{md}.transformer.final_attn_token_to_image.{proj}.weight"] = \
+            t(o, in_d)
+        sd[f"{md}.transformer.final_attn_token_to_image.{proj}.bias"] = t(o)
+    sd[f"{md}.transformer.norm_final_attn.weight"] = t(c)
+    sd[f"{md}.transformer.norm_final_attn.bias"] = t(c)
+    sd[f"{md}.iou_token.weight"] = t(1, c)
+    sd[f"{md}.mask_tokens.weight"] = t(4, c)
+    sd[f"{md}.output_upscaling.0.weight"] = t(c, c // 4, 2, 2)
+    sd[f"{md}.output_upscaling.0.bias"] = t(c // 4)
+    sd[f"{md}.output_upscaling.1.weight"] = t(c // 4)
+    sd[f"{md}.output_upscaling.1.bias"] = t(c // 4)
+    sd[f"{md}.output_upscaling.3.weight"] = t(c // 4, c // 8, 2, 2)
+    sd[f"{md}.output_upscaling.3.bias"] = t(c // 8)
+    for i in range(4):
+        p = f"{md}.output_hypernetworks_mlps.{i}"
+        sd[f"{p}.layers.0.weight"] = t(c, c); sd[f"{p}.layers.0.bias"] = t(c)
+        sd[f"{p}.layers.1.weight"] = t(c, c); sd[f"{p}.layers.1.bias"] = t(c)
+        sd[f"{p}.layers.2.weight"] = t(c // 8, c)
+        sd[f"{p}.layers.2.bias"] = t(c // 8)
+    p = f"{md}.iou_prediction_head"
+    sd[f"{p}.layers.0.weight"] = t(c, c); sd[f"{p}.layers.0.bias"] = t(c)
+    sd[f"{p}.layers.1.weight"] = t(c, c); sd[f"{p}.layers.1.bias"] = t(c)
+    sd[f"{p}.layers.2.weight"] = t(4, c); sd[f"{p}.layers.2.bias"] = t(4)
+
+    converted = weights.convert_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, config)
+
+    want_shapes = jax.tree_util.tree_map(lambda x: x.shape, variables)
+    got_shapes = jax.tree_util.tree_map(lambda x: x.shape, converted)
+    flat_want = jax.tree_util.tree_flatten_with_path(want_shapes)[0]
+    flat_got = jax.tree_util.tree_flatten_with_path(got_shapes)[0]
+    want_map = {jax.tree_util.keystr(k): v for k, v in flat_want}
+    got_map = {jax.tree_util.keystr(k): v for k, v in flat_got}
+    missing = set(want_map) - set(got_map)
+    extra = set(got_map) - set(want_map)
+    assert not missing, f"conversion missing params: {sorted(missing)[:10]}"
+    assert not extra, f"conversion extra params: {sorted(extra)[:10]}"
+    mismatched = {k: (want_map[k], got_map[k]) for k in want_map
+                  if want_map[k] != got_map[k]}
+    assert not mismatched, f"shape mismatches: {mismatched}"
+
+
+def test_generate_static_mask_pipeline(tmp_path):
+    """Full CLI pipeline on a synthetic scene with a tiny random SAM."""
+    import yaml
+
+    import generate_static_mask as gsm
+    from nerf_hugs_tpu.cameras import colmap
+    from tests.test_colmap_loaders import write_colmap_model
+
+    rng = np.random.RandomState(0)
+    names = write_colmap_model(str(tmp_path / "sparse"), 3, rng)
+
+    # Write pred/gt pairs matching COLMAP image stems.
+    img_dir = tmp_path / "preds"
+    img_dir.mkdir()
+    for name in names:
+        stem = Path(name).stem
+        gt = rng.rand(16, 16, 3).astype(np.float32)
+        pred = np.clip(gt + rng.randn(16, 16, 3) * 0.05, 0, 1)
+        gsm.save_image_rgb(gt, img_dir / f"{stem}_gt.png")
+        gsm.save_image_rgb(pred, img_dir / f"{stem}_color.png")
+
+    config = gsm.SegmentConfig(
+        sam_points_per_side=4, sam_crop_n_layers=0,
+        sam_min_mask_region_area=0, sam_pred_iou_thresh=0.0,
+        sam_stability_score_thresh=0.0, sfm_point_count_threshold=2,
+        sfm_seg_batch_size=8, sfm_pred_iou_thresh=0.0,
+        sfm_stability_score_thresh=0.0, smooth_kernel_size=3,
+        erode_kernel_size=0)
+    gsm.main(str(img_dir), str(tmp_path / "sparse"), "vit_t", None,
+             str(tmp_path / "out"), config,
+             sam_overrides={"image_size": 64, "window_size": 2})
+
+    masks = sorted((tmp_path / "out" / "static_masks").glob("*.png"))
+    vises = sorted((tmp_path / "out" / "visualizations").glob("*.png"))
+    assert len(masks) == 3 and len(vises) == 3
+    from nerf_hugs_tpu.utils import io as nh_io
+    mask = nh_io.load_img(str(masks[0]))
+    assert mask.shape[:2] == (16, 16)
+    vis = nh_io.load_img(str(vises[0]))
+    assert vis.shape[:2] == (32, 128)  # 2h x 8w grid
