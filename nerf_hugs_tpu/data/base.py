@@ -94,6 +94,25 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
             self.image_names = [f"{i:03d}" for i in range(self._n_examples)]
         self.cameras = (self.pixtocams, self.camtoworlds, self.pixtocam_ndc)
 
+        # Native threaded pixel sampler (libraysampler) when the per-image
+        # cameras are homogeneous enough for batch ray casting; numpy
+        # fallback otherwise. render_path has no images to gather.
+        self._native = None
+        homogeneous_cams = (
+            len(set(map(str, self.distortion_params))) == 1
+            and len(set(self.camtypes)) == 1)
+        if is_training and not self.render_path and homogeneous_cams:
+            try:
+                from nerf_hugs_tpu.data import native_sampler
+                self._native = native_sampler.NativeSampler(
+                    self.images, self.static_masks, self.nears, self.fars,
+                    self.embed_idxs)
+                self._native_seed = int(
+                    self._rng.integers(0, 2**62))
+                self._native_calls = 0
+            except (RuntimeError, OSError):
+                self._native = None
+
         self._next_fn = self._next_train if is_training else self._next_test
         # Seed one batch so __next__ can't race thread startup.
         self._queue.put(self._next_fn())
@@ -151,6 +170,8 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
     def _next_train(self) -> structs.Batch:
         """Random dilated patches from image_num_per_batch random images,
         flattened to [batch_size, ...] (datasets.py:494-529)."""
+        if self._native is not None:
+            return self._next_train_native()
         p = self._patch_size
         n_patches = (self._batch_size // self._image_num_per_batch) // p**2
         span = (p - 1) * self._patch_dilation  # patch footprint minus one
@@ -174,6 +195,35 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
         # patch structure (robustnerf) reshape back via config.patch_size.
         return jax.tree_util.tree_map(
             lambda x: x.reshape(-1, x.shape[-1]) if x.ndim > 1 else x, batch)
+
+    def _next_train_native(self) -> structs.Batch:
+        """Native-sampler fast path: threaded pixel gather in C++, then one
+        vectorized ray cast over the whole batch with per-ray camera
+        gathers."""
+        p = self._patch_size
+        n_patches = (self._batch_size // self._image_num_per_batch
+                     ) // p**2 * self._image_num_per_batch
+        self._native_calls += 1
+        (pix_x, pix_y, cam_idx, embed_idx, rgb, mask, near, far
+         ) = self._native.sample(
+            self._native_seed + self._native_calls, n_patches, p,
+            self._patch_dilation, self._image_num_per_batch,
+            half_image=self.sample_from_half_image)
+        pixels = structs.Pixels(
+            pix_x_int=pix_x.astype(np.int64),
+            pix_y_int=pix_y.astype(np.int64),
+            lossmult=np.ones((len(pix_x), 1), np.float32),
+            static_mask=mask[:, None],
+            near=near[:, None],
+            far=far[:, None],
+            embed_idx=embed_idx[:, None],
+            cam_idx=cam_idx[:, None])
+        # Batch ray cast with per-ray camera indexing; heterogeneous
+        # distortion/camtype falls back to the slow path at construction.
+        rays = camera_utils.cast_ray_batch(
+            self.cameras, pixels, self.heights, self.widths,
+            self.distortion_params[0], self.camtypes[0], xnp=np)
+        return structs.Batch(rays=rays, rgb=rgb)
 
     def generate_ray_batch(self, cam_idx: int) -> structs.Batch:
         """All rays of one camera, as an [H, W, ...] batch (eval/render)."""

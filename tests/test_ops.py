@@ -31,7 +31,7 @@ def test_hashgrid_shapes_and_determinism():
     spec = make_spec()
     rng = jax.random.PRNGKey(0)
     table = jax.random.normal(
-        rng, (spec.num_levels * spec.table_size, spec.features_per_level))
+        rng, (spec.num_levels * spec.table_size * spec.features_per_level,))
     pos = jax.random.uniform(jax.random.PRNGKey(1), (37, 3))
     out = hashgrid_encode(table, pos, spec)
     assert out.shape == (37, spec.output_dim)
@@ -47,18 +47,19 @@ def test_hashgrid_interpolation_is_trilinear():
     # With a dense level, encoding at a grid vertex returns that vertex's
     # feature exactly; midway between two vertices returns their average.
     spec = make_spec(num_levels=1, base_res=4, max_res=4, log2_hashmap_size=10)
-    table = jax.random.normal(jax.random.PRNGKey(0),
-                              (spec.table_size, spec.features_per_level))
+    table2d = jax.random.normal(jax.random.PRNGKey(0),
+                                (spec.table_size, spec.features_per_level))
+    table = table2d.reshape(-1)
     # Vertex (1, 2, 3) of the res-4 grid -> position (1/4, 2/4, 3/4).
     pos = jnp.array([[0.25, 0.5, 0.75]])
     idx = 1 + 2 * 5 + 3 * 25  # x + y*(res+1) + z*(res+1)^2
     got = hashgrid_encode(table, pos, spec)
-    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(table[idx]),
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(table2d[idx]),
                                atol=1e-5)
     # Midpoint between vertices (1,2,3) and (2,2,3).
     pos_mid = jnp.array([[0.375, 0.5, 0.75]])
     got_mid = hashgrid_encode(table, pos_mid, spec)
-    want = 0.5 * (np.asarray(table[idx]) + np.asarray(table[idx + 1]))
+    want = 0.5 * (np.asarray(table2d[idx]) + np.asarray(table2d[idx + 1]))
     np.testing.assert_allclose(np.asarray(got_mid)[0], want, atol=1e-5)
 
 
@@ -66,7 +67,7 @@ def test_hashgrid_continuity():
     spec = make_spec()
     table = jax.random.normal(
         jax.random.PRNGKey(0),
-        (spec.num_levels * spec.table_size, spec.features_per_level))
+        (spec.num_levels * spec.table_size * spec.features_per_level,))
     pos = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=0.1,
                              maxval=0.9)
     eps = 1e-5
@@ -78,15 +79,16 @@ def test_hashgrid_continuity():
 def test_hashgrid_gradient_scatter():
     # d loss / d table is nonzero exactly at touched entries.
     spec = make_spec(num_levels=2)
-    table = jnp.zeros((spec.num_levels * spec.table_size,
-                       spec.features_per_level))
+    table = jnp.zeros(
+        (spec.num_levels * spec.table_size * spec.features_per_level,))
     pos = jnp.array([[0.3, 0.6, 0.1]])
     g = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, pos, spec)))(table)
-    touched = int(jnp.sum(jnp.any(g != 0, axis=-1)))
+    g2d = np.asarray(g).reshape(-1, spec.features_per_level)
+    touched = int(np.sum(np.any(g2d != 0, axis=-1)))
     # 8 corners per level, possibly with hash collisions: 1 < touched <= 16.
     assert 1 <= touched <= 16
     # Weights per level sum to 1 => per-level grad feature sums to 1.
-    np.testing.assert_allclose(float(g[:spec.table_size, 0].sum()), 1.0,
+    np.testing.assert_allclose(float(g2d[:spec.table_size, 0].sum()), 1.0,
                                rtol=1e-5)
 
 
@@ -96,8 +98,8 @@ def test_hashgrid_module_init():
     pos = jnp.ones((5, 3)) * 0.5
     variables = mod.init(jax.random.PRNGKey(0), pos)
     table = variables["params"]["table"]
-    assert table.shape == (spec.num_levels * spec.table_size,
-                           spec.features_per_level)
+    assert table.shape == (spec.num_levels * spec.table_size
+                           * spec.features_per_level,)
     assert float(jnp.max(jnp.abs(table))) <= 1e-4  # tcnn-style uniform init
     out = mod.apply(variables, pos)
     assert out.shape == (5, spec.output_dim)
@@ -107,7 +109,7 @@ def test_hashgrid_2d():
     spec = make_spec(num_dims=2)
     table = jax.random.normal(
         jax.random.PRNGKey(0),
-        (spec.num_levels * spec.table_size, spec.features_per_level))
+        (spec.num_levels * spec.table_size * spec.features_per_level,))
     pos = jax.random.uniform(jax.random.PRNGKey(1), (11, 2))
     out = hashgrid_encode(table, pos, spec)
     assert out.shape == (11, spec.output_dim)
