@@ -16,6 +16,10 @@ def dataset_registry():
         "phototourism": phototourism.Phototourism,
         "distractor": distractor.Distractor,
         "synthetic": synthetic.Synthetic,
+        # Stubs, matching the reference's NotImplementedError datasets.
+        "tat_nerfpp": _not_implemented_loader("TanksAndTemplesNerfPP"),
+        "tat_fvs": _not_implemented_loader("TanksAndTemplesFVS"),
+        "dtu": _not_implemented_loader("DTU"),
     }
 
 
@@ -45,3 +49,15 @@ def load_dataset(split: str, data_dir: str, config: Config,
                              else image_num_per_batch),
         data_dir=data_dir,
         config=config)
+
+
+def _not_implemented_loader(name):
+    from nerf_hugs_tpu.data import base
+
+    class _Stub(base.Dataset):
+        def _load_renderings(self, config):
+            raise NotImplementedError(
+                f"{name} is a stub in the reference too "
+                "(MipNeRF360/internal/datasets.py:792,841,908)")
+    _Stub.__name__ = name
+    return _Stub

@@ -69,6 +69,8 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
         self.near = config.near
         self.far = config.far
         self.render_path = config.render_path
+        self._enable_clip_near_far = config.enable_clip_near_far
+        self._bound = config.bound
         self.distortion_params: Optional[List] = None
         self.poses = None
         self.pixtocam_ndc = None
@@ -163,9 +165,23 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
         rays = camera_utils.cast_ray_batch(
             self.cameras, pixels, self.heights, self.widths,
             self.distortion_params[cam_idx], self.camtypes[cam_idx], xnp=np)
+        rays = self._maybe_clip_near_far(rays)
         rgb = None if self.render_path else \
             self.images[cam_idx][pix_y_int, pix_x_int]
         return structs.Batch(rays=rays, rgb=rgb)
+
+    def _maybe_clip_near_far(self, rays: structs.Rays) -> structs.Rays:
+        """Clip near/far to the scene AABB (nerfacto enable_clip_near_far,
+        nerfacto/datasets/base.py:111-136)."""
+        if not self._enable_clip_near_far:
+            return rays
+        from nerf_hugs_tpu.core import rayops
+        flat = lambda a, d: a.reshape(-1, d)
+        near, far = rayops.clip_near_far_to_aabb(
+            flat(rays.origins, 3), flat(rays.directions, 3),
+            flat(rays.near, 1), flat(rays.far, 1), self._bound)
+        return rays.replace(near=near.reshape(rays.near.shape),
+                            far=far.reshape(rays.far.shape))
 
     def _next_train(self) -> structs.Batch:
         """Random dilated patches from image_num_per_batch random images,
@@ -223,6 +239,7 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
         rays = camera_utils.cast_ray_batch(
             self.cameras, pixels, self.heights, self.widths,
             self.distortion_params[0], self.camtypes[0], xnp=np)
+        rays = self._maybe_clip_near_far(rays)
         return structs.Batch(rays=rays, rgb=rgb)
 
     def generate_ray_batch(self, cam_idx: int) -> structs.Batch:
