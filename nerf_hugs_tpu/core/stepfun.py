@@ -114,7 +114,14 @@ def integrate_weights(w):
 
 
 def invert_cdf(u, t, w_logits, use_gpu_resampling=False):
-    """Map u in [0,1) through the inverse CDF of softmax(w_logits) over bins t."""
+    """Map u in [0,1) through the inverse CDF of softmax(w_logits) over bins t.
+
+    Rays whose logits are all -inf (every interval zero-width/zero-weight)
+    would softmax to NaN; they fall back to a uniform CDF (the torch stack's
+    guard, nerfacto/utils/ray_utils.py:143-144).
+    """
+    all_masked = jnp.all(jnp.isneginf(w_logits), axis=-1, keepdims=True)
+    w_logits = jnp.where(all_masked, 1.0, w_logits)
     w = jax.nn.softmax(w_logits, axis=-1)
     cdf = integrate_weights(w)
     interp_fn = nh_math.interp if use_gpu_resampling else nh_math.sorted_interp

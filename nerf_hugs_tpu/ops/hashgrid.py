@@ -101,33 +101,60 @@ def hashgrid_encode(table: jnp.ndarray, positions: jnp.ndarray,
 
     table: FLAT [L * T * F] (feature-minor). positions: [..., d] with any
     leading batch shape.
+
+    Vectorized over levels in [L, n] layout (leading dims don't pad under
+    TPU tiling): one gather of [L*n] per (corner, feature) instead of a
+    16-level unrolled loop — smaller HLO, bigger (faster) gathers. Levels
+    that fit densely use linear indexing; the rest use the spatial hash,
+    selected by a per-level mask.
     """
     lead_shape = positions.shape[:-1]
     positions = positions.reshape(-1, spec.num_dims)
     offsets = spec.corner_offsets()          # [2^d, d] (host numpy)
     num_corners = offsets.shape[0]
     f = spec.features_per_level
+    L = spec.num_levels
+    d_dims = spec.num_dims
 
-    per_dim = [positions[:, d] for d in range(spec.num_dims)]
-    level_feats = []
-    for level in range(spec.num_levels):
-        res = int(spec.resolutions[level])
-        x0 = [jnp.floor(p * res) for p in per_dim]        # d x [n]
-        frac = [p * res - x for p, x in zip(per_dim, x0)]  # d x [n]
-        base = level * spec.table_size
-        acc = [jnp.zeros_like(frac[0]) for _ in range(f)]
-        for c in range(num_corners):
-            corner_dims = tuple(
-                (x0[d] + offsets[c, d]).astype(jnp.int32)
-                for d in range(spec.num_dims))
-            idx = (_corner_index(spec, corner_dims, level) + base) * f
-            w = jnp.ones_like(frac[0])
-            for d in range(spec.num_dims):
-                w = w * (frac[d] if offsets[c, d] else 1.0 - frac[d])
-            for j in range(f):
-                acc[j] = acc[j] + w * jnp.take(table, idx + j, axis=0)
-        level_feats.extend(acc)
-    out = jnp.stack(level_feats, axis=-1)  # [n, L*F]
+    res = jnp.asarray(spec.resolutions, jnp.float32)[:, None]      # [L, 1]
+    dense = spec.dense_level()                                     # [L] host
+    # Per-level dense strides (stride_d = (res+1)^d) and offsets.
+    res_i = spec.resolutions
+    strides = np.stack([(res_i + 1) ** d for d in range(d_dims)], 0)  # [d, L]
+    strides_j = jnp.asarray(strides.astype(np.int64) % (1 << 32)
+                            ).astype(jnp.uint32)[:, :, None]          # [d,L,1]
+    dense_mask = jnp.asarray(dense)[:, None]                          # [L, 1]
+    level_base = (jnp.arange(L, dtype=jnp.int32) * spec.table_size
+                  )[:, None]                                          # [L, 1]
+
+    # [d, L, n] integer cell coords and fractions.
+    x = positions.T[:, None, :] * res[None]            # [d, L, n]
+    x0 = jnp.floor(x)
+    frac = x - x0
+
+    acc = [jnp.zeros((L, positions.shape[0])) for _ in range(f)]
+    for c in range(num_corners):
+        corner = x0 + jnp.asarray(offsets[c], jnp.float32)[:, None, None]
+        corner_u = corner.astype(jnp.uint32)           # [d, L, n]
+        idx_dense = jnp.zeros_like(corner_u[0])
+        idx_hash = jnp.zeros_like(corner_u[0])
+        for d in range(d_dims):
+            idx_dense = idx_dense + corner_u[d] * strides_j[d]
+            idx_hash = idx_hash ^ (corner_u[d]
+                                   * jnp.uint32(_PRIMES[d % len(_PRIMES)]))
+        idx = jnp.where(dense_mask, idx_dense, idx_hash)
+        idx = (idx % jnp.uint32(spec.table_size)).astype(jnp.int32)
+        idx = (idx + level_base) * f                   # [L, n]
+        w = jnp.ones_like(frac[0])
+        for d in range(d_dims):
+            w = w * jnp.where(offsets[c, d], frac[d], 1.0 - frac[d])
+        flat_idx = idx.reshape(-1)
+        for j in range(f):
+            vals = jnp.take(table, flat_idx + j, axis=0).reshape(idx.shape)
+            acc[j] = acc[j] + w * vals
+    # [L, n] x F -> [n, L*F] feature-minor per level.
+    out = jnp.stack(acc, axis=-1)                      # [L, n, F]
+    out = out.transpose(1, 0, 2).reshape(positions.shape[0], L * f)
     return out.reshape(lead_shape + (spec.output_dim,))
 
 

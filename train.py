@@ -152,7 +152,18 @@ def main(argv=None):
         total_time, total_steps = 0, 0
         reset_timer = True
 
+        # Optional profiling window (SURVEY.md §5: add jax.profiler hooks,
+        # keep the rays/sec counters): NERF_HUGS_PROFILE=start,stop traces
+        # that step range into {checkpoint_dir}/profile.
+        profile_range = os.environ.get("NERF_HUGS_PROFILE")
+        if profile_range:
+            prof_start, prof_stop = map(int, profile_range.split(","))
         for step, batch in zip(range(init_step, num_steps + 1), dataset):
+            if profile_range and step == prof_start:
+                jax.profiler.start_trace(
+                    os.path.join(config.checkpoint_dir, "profile"))
+            if profile_range and step == prof_stop:
+                jax.profiler.stop_trace()
             if reset_timer:
                 train_start_time = time.time()
                 reset_timer = False
