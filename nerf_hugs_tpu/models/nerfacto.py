@@ -64,15 +64,34 @@ def _density_activation(name: str, density_bias: float):
 
 
 class _ReluMLP(nn.Module):
-    """Plain ReLU MLP head (the enable_tcnn_mlp=False torch-Linear path the
-    shipped configs use, nerfacto.py:760-815). he_uniform kernels."""
+    """ReLU MLP head with two execution paths, mirroring the reference's
+    enable_tcnn_mlp switch (nerfacto.py:728-815):
+      fused=False — plain flax Dense stack with biases (the torch-Linear
+        path the shipped configs use);
+      fused=True  — bias-free Pallas fused kernel (tcnn FullyFusedMLP
+        analog): hidden activations stay in VMEM.
+    """
     hidden_dim: int
     num_layers: int
     out_dim: int
     compute_dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.fused:
+            from nerf_hugs_tpu.ops.fused_mlp import fused_mlp
+            dims = ([x.shape[-1]] + [self.hidden_dim] * (self.num_layers - 1)
+                    + [self.out_dim])
+            weights = tuple(
+                self.param(f"w_{i}", jax.nn.initializers.he_uniform(),
+                           (dims[i], dims[i + 1]))
+                for i in range(len(dims) - 1))
+            lead = x.shape[:-1]
+            flat = x.reshape(-1, x.shape[-1]).astype(self.compute_dtype)
+            weights = tuple(w.astype(self.compute_dtype) for w in weights)
+            out = fused_mlp(flat, weights)
+            return out.reshape(lead + (self.out_dim,))
         dense = lambda d: nn.Dense(
             d, kernel_init=jax.nn.initializers.he_uniform(),
             dtype=self.compute_dtype)
@@ -117,8 +136,8 @@ class NerfactoField(nn.Module):
                                                   self.contraction)
         feats = HashGridEncoding(spec, name="hashgrid")(grid_pos)
         h = _ReluMLP(nc.hidden_dim, 2, 1 + nc.geo_feat_dim,
-                     self.compute_dtype, name="mlp_base")(
-            feats.astype(self.compute_dtype))
+                     self.compute_dtype, fused=nc.enable_tcnn_mlp,
+                     name="mlp_base")(feats.astype(self.compute_dtype))
         raw_density, geo_feat = h[..., :1].astype(jnp.float32), h[..., 1:]
         density = density_act(raw_density) * selector[..., None]
 
@@ -127,7 +146,8 @@ class NerfactoField(nn.Module):
         if embedded_appearance is not None:
             color_in.append(embedded_appearance.astype(self.compute_dtype))
         raw_rgb = _ReluMLP(nc.hidden_dim_color, 3, 3, self.compute_dtype,
-                           name="mlp_head")(jnp.concatenate(color_in, -1))
+                           fused=nc.enable_tcnn_mlp, name="mlp_head")(
+            jnp.concatenate(color_in, -1))
         rgb = jax.nn.sigmoid(raw_rgb.astype(jnp.float32))
 
         outputs = {"density": density[..., 0], "rgb": rgb}
@@ -135,7 +155,8 @@ class NerfactoField(nn.Module):
             t_in = jnp.concatenate(
                 [geo_feat, embedded_transient.astype(self.compute_dtype)], -1)
             out = _ReluMLP(nc.hidden_dim_transient, 3, 5, self.compute_dtype,
-                           name="mlp_transient")(t_in).astype(jnp.float32)
+                           fused=nc.enable_tcnn_mlp, name="mlp_transient")(
+                t_in).astype(jnp.float32)
             outputs["density_transient"] = (
                 density_act(out[..., :1]) * selector[..., None])[..., 0]
             outputs["rgb_transient"] = jax.nn.sigmoid(out[..., 1:4])
@@ -162,6 +183,7 @@ class HashMLPDensityField(nn.Module):
                                                   self.contraction)
         feats = HashGridEncoding(spec, name="hashgrid")(grid_pos)
         raw = _ReluMLP(a.get("hidden_dim", 64), 2, 1, self.compute_dtype,
+                       fused=a.get("enable_tcnn_mlp", False),
                        name="mlp_base")(feats.astype(self.compute_dtype))
         density = trunc_exp(raw.astype(jnp.float32)) * selector[..., None]
         return density[..., 0]
