@@ -152,9 +152,11 @@ def hashgrid_encode(table: jnp.ndarray, positions: jnp.ndarray,
         for j in range(f):
             vals = jnp.take(table, flat_idx + j, axis=0).reshape(idx.shape)
             acc[j] = acc[j] + w * vals
-    # [L, n] x F -> [n, L*F] feature-minor per level.
-    out = jnp.stack(acc, axis=-1)                      # [L, n, F]
-    out = out.transpose(1, 0, 2).reshape(positions.shape[0], L * f)
+    # Assemble [n, L*F] directly from [n] row slices — stacking into an
+    # [L, n, F] intermediate would pad its trailing F=2 axis 64x under TPU
+    # tiling (17GB at batch 16384 x 128 samples).
+    columns = [acc[j][l] for l in range(L) for j in range(f)]
+    out = jnp.stack(columns, axis=-1)                  # [n, L*F]
     return out.reshape(lead_shape + (spec.output_dim,))
 
 
