@@ -199,6 +199,32 @@ def generate_interpolated_path(poses: np.ndarray, n_interp: int,
     return points_to_poses(new_points)
 
 
+def create_render_spline_path(config, image_names: List[str],
+                              poses: np.ndarray):
+    """Spline render path through keyframe poses named in
+    config.render_spline_keyframes (a directory of images or a text file of
+    names; camera_utils.py:330-378). Returns (keyframe_indices, poses)."""
+    import os
+    source = config.render_spline_keyframes
+    if os.path.isdir(source):
+        keyframe_names = sorted(os.listdir(source))
+    else:
+        with open(source, "r") as f:
+            keyframe_names = f.read().splitlines()
+    spline_indices = np.array(
+        [i for i, name in enumerate(image_names) if name in keyframe_names])
+    if len(spline_indices) < 2:
+        raise ValueError(
+            f"need >=2 keyframes from {source}, matched {len(spline_indices)}")
+    render_poses = generate_interpolated_path(
+        poses[spline_indices],
+        n_interp=config.render_spline_n_interp,
+        spline_degree=config.render_spline_degree,
+        smoothness=config.render_spline_smoothness,
+        rot_weight=0.1)
+    return spline_indices, render_poses
+
+
 def interpolate_1d(x: np.ndarray, n_interp: int, spline_degree: int,
                    smoothness: float) -> np.ndarray:
     """Spline-upsample a 1D signal by n_interp (e.g. per-frame exposure)."""

@@ -110,3 +110,32 @@ def test_nerfacto_hanerf_smoke(mesh):
     config.nerfacto.use_transient_embedding = True
     psnrs = run_steps(config, mesh, 4)
     assert np.isfinite(psnrs).all()
+
+
+def test_vanilla_nerf_nerfw_smoke(mesh):
+    config = nerf_config(transient_type="nerfw")
+    config.nerfacto.use_transient_embedding = True
+    config.nerfacto.use_appearance_embedding = True
+    psnrs = run_steps(config, mesh, 3)
+    assert np.isfinite(psnrs).all()
+
+
+def test_vanilla_nerf_hanerf_smoke(mesh):
+    config = nerf_config(transient_type="hanerf")
+    config.nerfacto.use_transient_embedding = True
+    psnrs = run_steps(config, mesh, 3)
+    assert np.isfinite(psnrs).all()
+
+
+def test_nerfacto_robustnerf_smoke(mesh):
+    config = nerfacto_config(transient_type="robustnerf", patch_size=8,
+                             robustnerf_inner_patch_size=4)
+    psnrs = run_steps(config, mesh, 3)
+    assert np.isfinite(psnrs).all()
+
+
+def test_nerfacto_withmask_smoke(mesh):
+    config = nerfacto_config(transient_type="withmask",
+                             withmask_transient_weight=0.1)
+    psnrs = run_steps(config, mesh, 3)
+    assert np.isfinite(psnrs).all()
