@@ -116,6 +116,7 @@ class NerfactoConfig:
         {"base_res": 16, "hidden_dim": 16, "log2_hashmap_size": 17,
          "features_per_level": 2, "num_levels": 5, "max_res": 256},
     )
+    use_same_proposal_network: bool = False
     proposal_initial_sampler: str = "piecewise"  # 'piecewise' | 'uniform'
     proposal_histogram_padding: float = 0.01
     proposal_update_every: int = 5

@@ -239,12 +239,22 @@ class NerfactoModel(nn.Module):
             transient=(transient_type == "nerfw"),
             compute_dtype=compute_dtype, name="field")
         prop_nets = []
-        for i in range(nc.num_proposal_iterations):
-            args = nc.proposal_net_args_list[
-                min(i, len(nc.proposal_net_args_list) - 1)]
-            prop_nets.append(HashMLPDensityField(
-                dict(args), bound, contraction, compute_dtype,
-                name=f"proposal_{i}"))
+        if nc.use_same_proposal_network:
+            # One shared proposal net for every iteration (nerfacto.py:194-205).
+            if len(nc.proposal_net_args_list) != 1:
+                raise ValueError("use_same_proposal_network requires exactly "
+                                 "one proposal_net_args_list entry")
+            shared = HashMLPDensityField(
+                dict(nc.proposal_net_args_list[0]), bound, contraction,
+                compute_dtype, name="proposal_0")
+            prop_nets = [shared] * nc.num_proposal_iterations
+        else:
+            for i in range(nc.num_proposal_iterations):
+                args = nc.proposal_net_args_list[
+                    min(i, len(nc.proposal_net_args_list) - 1)]
+                prop_nets.append(HashMLPDensityField(
+                    dict(args), bound, contraction, compute_dtype,
+                    name=f"proposal_{i}"))
 
         appearance_embed = None
         if nc.use_appearance_embedding:
