@@ -17,6 +17,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> None:
+    """Initialize jax.distributed for multi-host meshes when the environment
+    provides coordination info (NERF_HUGS_MULTIHOST=1 forces it; standard
+    JAX/TPU env vars are auto-detected by jax.distributed.initialize).
+    Single-host runs skip it — replaces the reference's implicit multi-host
+    pmap setup (SURVEY.md §2.h)."""
+    import os
+    want = os.environ.get("NERF_HUGS_MULTIHOST") == "1" or         "JAX_COORDINATOR_ADDRESS" in os.environ or         "COORDINATOR_ADDRESS" in os.environ
+    if want and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized or no coordinator
+            print(f"jax.distributed.initialize skipped: {e}")
+
+
 def make_mesh(devices: Optional[Sequence[Any]] = None,
               axis_name: str = "data") -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -103,6 +103,7 @@ def main(argv=None):
     from nerf_hugs_tpu.train.render_image import render_image
     from nerf_hugs_tpu.utils import io as nh_io
 
+    mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.make_mesh()
     rng = jax.random.PRNGKey(20200823)
     model, state, render_eval_fn, _, _ = train_step_lib.setup_model(

@@ -82,6 +82,7 @@ def main(argv=None):
             f"batch_size {config.batch_size} must divide evenly by "
             f"{jax.device_count()} devices")
 
+    mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.make_mesh()
     rng = jax.random.PRNGKey(20200823)
     # Per-host RNG offset for multi-host data parallelism (train.py:47-49).
