@@ -131,8 +131,8 @@ def convert_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         state = state.state_dict()
     out: Dict[str, np.ndarray] = {}
     conv_keys = sorted(
-        (k for k in state if k.endswith(".weight") and ".lin" not in k
-         and state[k].ndim == 4),
+        (k for k in state if k.endswith(".weight") and state[k].ndim == 4
+         and not k.startswith("lin") and ".lin" not in k),
         key=lambda k: tuple(int(t) for t in k.split(".") if t.isdigit()))
     if len(conv_keys) < 5:
         raise ValueError(f"expected >=5 conv weights in {path}, "
