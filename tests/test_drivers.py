@@ -103,3 +103,35 @@ def test_train_finetune_and_hugs_eval_contract(tmp_path):
     colors = sorted(glob.glob(str(ckpt / "train_preds" / "*_color.png")))
     names = {os.path.basename(p) for p in colors}
     assert names == {"00000_color.png", "00001_color.png", "00002_color.png"}
+
+
+def test_render_cli(tmp_path):
+    import train as train_driver
+    import render as render_driver
+
+    scene = tmp_path / "scene"
+    ckpt = tmp_path / "ckpt"
+    make_fake_kubric_scene(str(scene))
+    argv = [f"--gin_bindings={b}"
+            for b in tiny_bindings(str(scene), str(ckpt),
+                                   ["Config.train_render_every = 0"])]
+    train_driver.main(argv)
+    render_driver.main(argv)
+    renders = sorted(glob.glob(str(ckpt / "render" / "test_preds_step_8"
+                                   / "color_*.png")))
+    assert len(renders) == 2
+    depths = glob.glob(str(ckpt / "render" / "test_preds_step_8"
+                           / "distance_mean_*.tiff"))
+    assert len(depths) == 2
+    # Job sharding: job 1 of 2 renders only the odd frames.
+    ckpt2 = tmp_path / "ckpt2"
+    argv2 = [f"--gin_bindings={b}"
+             for b in tiny_bindings(str(scene), str(ckpt2),
+                                    ["Config.train_render_every = 0",
+                                     "Config.render_num_jobs = 2",
+                                     "Config.render_job_id = 1"])]
+    train_driver.main(argv2)
+    render_driver.main(argv2)
+    renders2 = sorted(glob.glob(str(ckpt2 / "render" / "test_preds_step_8"
+                                    / "color_*.png")))
+    assert [os.path.basename(r) for r in renders2] == ["color_001.png"]
