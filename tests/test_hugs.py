@@ -299,3 +299,19 @@ def test_generate_static_mask_pipeline(tmp_path):
     assert mask.shape[:2] == (16, 16)
     vis = nh_io.load_img(str(vises[0]))
     assert vis.shape[:2] == (32, 128)  # 2h x 8w grid
+
+
+def test_sam_amg_with_crop_layers(tiny_sam):
+    """crop_n_layers=1 (the reference's HuGS setting) exercises the crop
+    generation + crop NMS path."""
+    from nerf_hugs_tpu.hugs.sam.amg import SamAutomaticMaskGenerator
+    gen = SamAutomaticMaskGenerator(
+        predictor=tiny_sam, points_per_side=4, points_per_batch=16,
+        pred_iou_thresh=0.0, stability_score_thresh=0.0, crop_n_layers=1,
+        crop_n_points_downscale_factor=2, min_mask_region_area=2)
+    rng = np.random.RandomState(2)
+    image = (rng.rand(40, 56, 3) * 255).astype(np.uint8)
+    results = gen.generate(image)
+    for r in results:
+        assert r["segmentation"].shape == (40, 56)
+        assert r["area"] >= 2
