@@ -13,7 +13,7 @@ cameras.colmap reader. Returns, in COLMAP image-record order:
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import List
 
 import numpy as np
 

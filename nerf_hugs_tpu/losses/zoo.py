@@ -19,7 +19,7 @@ All losses are jit-safe: fixed shapes, no data-dependent python control flow.
 from __future__ import annotations
 
 import collections
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

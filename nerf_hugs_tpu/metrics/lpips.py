@@ -20,7 +20,7 @@ weight file being present.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 import jax
 import jax.lax as lax

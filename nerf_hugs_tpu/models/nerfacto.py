@@ -27,7 +27,7 @@ Deliberate deviations from the reference, documented per SURVEY.md §7:
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import flax.linen as nn
 import jax

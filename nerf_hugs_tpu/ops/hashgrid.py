@@ -28,7 +28,6 @@ formulation is already within ~2x of gather roofline.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

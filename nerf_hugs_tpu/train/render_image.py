@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Any, Callable, MutableMapping
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from nerf_hugs_tpu.parallel import mesh as mesh_lib

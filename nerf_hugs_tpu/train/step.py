@@ -14,7 +14,7 @@ the BASELINE counters line up.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Tuple
 
 import flax
 import jax
