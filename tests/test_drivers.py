@@ -135,3 +135,22 @@ def test_render_cli(tmp_path):
     renders2 = sorted(glob.glob(str(ckpt2 / "render" / "test_preds_step_8"
                                     / "color_*.png")))
     assert [os.path.basename(r) for r in renders2] == ["color_001.png"]
+
+
+def test_train_resume_from_checkpoint(tmp_path):
+    """Preemption recovery: a second train.py invocation resumes from the
+    saved step instead of restarting (reference train.py:121-123)."""
+    import train as train_driver
+
+    scene = tmp_path / "scene"
+    ckpt = tmp_path / "ckpt"
+    make_fake_kubric_scene(str(scene))
+    extra = ["Config.checkpoint_every = 4", "Config.train_render_every = 0"]
+    argv = [f"--gin_bindings={b}"
+            for b in tiny_bindings(str(scene), str(ckpt), extra)]
+    train_driver.main(argv)  # runs to step 8, checkpoints at 4 and 8
+    assert (ckpt / "checkpoint_8").exists()
+    import shutil
+    shutil.rmtree(ckpt / "checkpoint_8")  # simulate preemption after step 4
+    train_driver.main(argv)  # must resume from 4, re-reach 8
+    assert (ckpt / "checkpoint_8").exists()
