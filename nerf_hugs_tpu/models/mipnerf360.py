@@ -66,7 +66,7 @@ class MipNerf360Model(nn.Module):
         if mc.num_glo_features > 0:
             if not zero_glo:
                 glo_vec = nn.Embed(mc.num_embeddings, mc.num_glo_features,
-                                   name="glo_embedding")(rays.embed_idx[..., 0])
+                                   name="GloEmbed_0")(rays.embed_idx[..., 0])
             else:
                 glo_vec = jnp.zeros(
                     rays.origins.shape[:-1] + (mc.num_glo_features,))
@@ -76,7 +76,7 @@ class MipNerf360Model(nn.Module):
             if not zero_tra:
                 tra_vec = nn.Embed(
                     mc.num_embeddings, mc.num_transient_features,
-                    name="transient_embedding")(rays.embed_idx[..., 0])
+                    name="TransientEmbed_0")(rays.embed_idx[..., 0])
             else:
                 tra_vec = jnp.zeros(
                     rays.origins.shape[:-1] + (mc.num_transient_features,))
