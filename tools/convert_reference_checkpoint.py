@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Convert a released NeRF-HuGS (MipNeRF360-stack) checkpoint to this repo.
+
+The reference saves flax.training.checkpoints msgpack TrainStates
+(MipNeRF360/train.py:232-236: params + optax state + step). Our
+MipNerf360Model's parameter pytree is identical to the reference's
+(tests/test_reference_model_parity.py), so conversion is just re-wrapping
+the params into our orbax layout:
+
+  python tools/convert_reference_checkpoint.py \\
+      --reference_checkpoint /path/to/checkpoint_250000 \\
+      --gin_configs configs/mipnerf360/kubric_1024_withmask.gin \\
+      --output_dir ./results/kubric_car
+
+After conversion, eval.py / render.py / train.py (resume) read the output
+directory directly. The optimizer state is rebuilt fresh (Adam moments are
+not needed for eval/render; pass --keep_optimizer to carry them over when
+the optax tree matches).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def extract_reference_params(path: str):
+    """Read a flax msgpack checkpoint into a raw pytree (no target)."""
+    from flax.training import checkpoints as flax_checkpoints
+    raw = flax_checkpoints.restore_checkpoint(path, target=None)
+    if raw is None:
+        raise FileNotFoundError(f"no flax checkpoint at {path}")
+    # Reference TrainState: {'params': {'params': {...}}, 'step': n, 'opt_state': ...}
+    # (train_utils.py:512 creates TrainState(params=variables)).
+    step = int(raw.get("step", 0))
+    params = raw["params"]
+    if "params" not in params:
+        params = {"params": params}
+    return params, step, raw.get("opt_state")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--reference_checkpoint", required=True,
+                        help="path to the reference checkpoint_NNN file/dir")
+    parser.add_argument("--gin_configs", action="append", default=[])
+    parser.add_argument("--gin_bindings", action="append", default=[])
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--step", type=int, default=None,
+                        help="override the checkpoint step number")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from nerf_hugs_tpu.configs import gin_parser, yaml_loader
+    from nerf_hugs_tpu.parallel import mesh as mesh_lib
+    from nerf_hugs_tpu.train import checkpoints
+    from nerf_hugs_tpu.train import step as train_step_lib
+
+    if args.config:
+        config = yaml_loader.load_yaml_config(args.config)
+    else:
+        config = gin_parser.parse_gin_configs(args.gin_configs,
+                                              args.gin_bindings)
+
+    params, step, _ = extract_reference_params(args.reference_checkpoint)
+    step = args.step if args.step is not None else step
+
+    mesh = mesh_lib.make_mesh()
+    _, state, _, _, _ = train_step_lib.setup_model(
+        config, jax.random.PRNGKey(0), mesh)
+
+    # Validate the param tree matches before writing anything.
+    import jax.tree_util as jtu
+    want = {jtu.keystr(p): v.shape
+            for p, v in jtu.tree_flatten_with_path(state.params)[0]}
+    got = {jtu.keystr(p): tuple(v.shape)
+           for p, v in jtu.tree_flatten_with_path(params)[0]}
+    missing = set(want) - set(got)
+    extra = set(got) - set(want)
+    if missing or extra:
+        raise ValueError(
+            f"param tree mismatch — is the gin config the one this "
+            f"checkpoint was trained with?\n  missing: {sorted(missing)[:5]}"
+            f"\n  extra: {sorted(extra)[:5]}")
+    bad = {k: (want[k], got[k]) for k in want if tuple(want[k]) != got[k]}
+    if bad:
+        raise ValueError(f"param shape mismatches: {list(bad.items())[:5]}")
+
+    state = state.replace(params=params, step=step)
+    checkpoints.save_checkpoint(args.output_dir, state, step)
+    print(f"converted step-{step} checkpoint -> "
+          f"{args.output_dir}/checkpoint_{step}")
+
+
+if __name__ == "__main__":
+    main()
