@@ -1,0 +1,82 @@
+"""Weight mapping from the reference's torch vanilla-NeRF MLP to PointMLP.
+
+The torch MLP (nerfacto/models/nerf.py:632-860) and our PointMLP
+(models/vanilla.py) share the architecture exactly; this module maps a torch
+state_dict onto our flax param tree so released vanilla-NeRF checkpoints
+load. flax Dense kernels are torch Linear weights transposed.
+
+Our PointMLP auto-names Dense layers in call order:
+  Dense_0..{D-1}        trunk (torch mlp_base.* Sequential Linears, in order)
+  Dense_{D}             density head (torch mlp_density)
+  Dense_{D+1}           bottleneck (torch mlp_bottleneck)
+  Dense_{D+2}..         viewdir branch (torch mlp_head.*)
+  Dense_{..}            rgb head (torch mlp_rgb)
+  [transient branch     torch mlp_transient.* + density/rgb/uncertainty]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _dense(weight, bias) -> Dict[str, np.ndarray]:
+    return {"kernel": np.asarray(weight).T, "bias": np.asarray(bias)}
+
+
+def _sequential_linears(sd: Dict[str, Any], prefix: str):
+    """Yield (weight, bias) of every Linear inside an nn.ModuleList of
+    Sequentials, in definition order (keys like 'prefix.0.0.weight')."""
+    keys = sorted(
+        (k for k in sd if k.startswith(prefix) and k.endswith(".weight")),
+        key=lambda k: tuple(int(t) for t in k.split(".") if t.isdigit()))
+    for k in keys:
+        yield sd[k], sd[k.replace(".weight", ".bias")]
+
+
+def convert_point_mlp(sd: Dict[str, Any], net_depth: int,
+                      net_depth_viewdirs: int = 1,
+                      transient: bool = False,
+                      net_depth_transient: int = 4,
+                      prefix: str = "") -> Dict[str, Any]:
+    """torch vanilla-NeRF MLP state_dict (optionally key-prefixed) -> our
+    PointMLP params dict."""
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items()
+              if k.startswith(prefix)}
+    params: Dict[str, Any] = {}
+    idx = 0
+    for w, b in _sequential_linears(sd, "mlp_base."):
+        params[f"Dense_{idx}"] = _dense(w, b)
+        idx += 1
+    if idx != net_depth:
+        raise ValueError(f"expected {net_depth} trunk Linears, found {idx}")
+    params[f"Dense_{idx}"] = _dense(sd["mlp_density.weight"],
+                                    sd["mlp_density.bias"])
+    idx += 1
+    params[f"Dense_{idx}"] = _dense(sd["mlp_bottleneck.weight"],
+                                    sd["mlp_bottleneck.bias"])
+    idx += 1
+    head = list(_sequential_linears(sd, "mlp_head."))
+    if len(head) != net_depth_viewdirs:
+        raise ValueError(
+            f"expected {net_depth_viewdirs} viewdir Linears, got {len(head)}")
+    for w, b in head:
+        params[f"Dense_{idx}"] = _dense(w, b)
+        idx += 1
+    params[f"Dense_{idx}"] = _dense(sd["mlp_rgb.weight"], sd["mlp_rgb.bias"])
+    idx += 1
+    if transient:
+        for w, b in _sequential_linears(sd, "mlp_transient."):
+            params[f"Dense_{idx}"] = _dense(w, b)
+            idx += 1
+        params[f"Dense_{idx}"] = _dense(sd["mlp_density_transient.weight"],
+                                        sd["mlp_density_transient.bias"])
+        idx += 1
+        params[f"Dense_{idx}"] = _dense(sd["mlp_rgb_transient.weight"],
+                                        sd["mlp_rgb_transient.bias"])
+        idx += 1
+        params[f"Dense_{idx}"] = _dense(sd["mlp_uncertainty.weight"],
+                                        sd["mlp_uncertainty.bias"])
+    return params
