@@ -95,8 +95,9 @@ def _box_filter(mask: np.ndarray, kernel_size: int,
                 mode: str = "reflect") -> np.ndarray:
     """Mean filter via separable cumulative sums (exact box convolution)."""
     import cv2
+    # torch F.pad(mode='reflect') == cv2 BORDER_REFLECT_101 (no edge dup).
     return cv2.blur(mask.astype(np.float32), (kernel_size, kernel_size),
-                    borderType={"reflect": cv2.BORDER_REFLECT,
+                    borderType={"reflect": cv2.BORDER_REFLECT_101,
                                 "same": cv2.BORDER_CONSTANT}[mode])
 
 
