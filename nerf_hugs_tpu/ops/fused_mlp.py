@@ -8,8 +8,12 @@ the weights (once per tile, they're tiny), and the output. Matmuls hit the
 MXU via jnp.dot with fp32 accumulation.
 
 Like tcnn, layers have no bias. The backward pass is a custom VJP computed
-with plain XLA matmuls over rematerialized activations (those are all
-MXU-roofline operations; the fusion win is forward activation traffic).
+with plain XLA matmuls over rematerialized activations. Measured on v5e at
+[262144, 128] x 3 layers: forward 12% faster than the XLA Dense stack and
+bit-exact; fwd+bwd slower (the recompute + unfused grads), so the fused path
+pays off for inference/eval while training typically keeps the Dense path
+(which the shipped reference configs select anyway via
+enable_tcnn_mlp: False).
 
 Enabled through the reference's own switch: NerfactoConfig.enable_tcnn_mlp
 maps to this kernel (shipped reference configs set it False -> the plain
