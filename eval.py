@@ -132,6 +132,15 @@ def main(argv=None):
                 print("  " + " ".join(f"{k}={v:.4f}"
                                       for k, v in metrics.items()))
 
+            if config.eval_save_ray_data:
+                ray_keys = {k: [np.asarray(x) for x in v]
+                            for k, v in rendering.items()
+                            if k.startswith("ray_")}
+                if ray_keys:
+                    np.savez(os.path.join(out_dir, f"{name}_rays.npz"),
+                             **{f"{k}_{i}": arr for k, v in ray_keys.items()
+                                for i, arr in enumerate(v)})
+
             if config.eval_save_output:
                 nh_io.save_img_u8(rgb, os.path.join(
                     out_dir, f"{name}_color.png"))

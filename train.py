@@ -204,6 +204,12 @@ def main(argv=None):
                     summary_writer.scalar("train_rays_per_sec",
                                           rays_per_sec, step)
                     summary_writer.scalar("learning_rate", lr, step)
+                    summary_writer.histogram(
+                        "train_loss_hist",
+                        np.array([s["loss"] for s in stats_host]), step)
+                    summary_writer.histogram(
+                        "train_psnr_hist",
+                        np.array([s["psnr"] for s in stats_host]), step)
                     for name, val in jax.device_get(
                             stats_host[-1]["losses"]).items():
                         summary_writer.scalar(f"train_losses/{name}",
