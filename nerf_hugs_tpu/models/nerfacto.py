@@ -80,7 +80,11 @@ class _ReluMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.fused:
+            import jax as _jax
+
             from nerf_hugs_tpu.ops.fused_mlp import fused_mlp
+            # Pallas TPU kernel; interpret on CPU (tests / virtual mesh).
+            interpret = _jax.default_backend() == "cpu"
             dims = ([x.shape[-1]] + [self.hidden_dim] * (self.num_layers - 1)
                     + [self.out_dim])
             weights = tuple(
@@ -90,7 +94,7 @@ class _ReluMLP(nn.Module):
             lead = x.shape[:-1]
             flat = x.reshape(-1, x.shape[-1]).astype(self.compute_dtype)
             weights = tuple(w.astype(self.compute_dtype) for w in weights)
-            out = fused_mlp(flat, weights)
+            out = fused_mlp(flat, weights, interpret=interpret)
             return out.reshape(lead + (self.out_dim,))
         dense = lambda d: nn.Dense(
             d, kernel_init=jax.nn.initializers.he_uniform(),
