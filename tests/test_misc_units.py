@@ -1,0 +1,51 @@
+"""Unit tests for small helpers not covered via the driver paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_hugs_tpu.parallel import mesh as mesh_lib
+from nerf_hugs_tpu.utils import vis as nh_vis
+
+
+def test_pad_to_multiple():
+    tree = {"a": jnp.arange(10.0)[:, None], "b": jnp.ones((10, 3))}
+    padded, pad = mesh_lib.pad_to_multiple(tree, 8)
+    assert pad == 6
+    assert padded["a"].shape[0] == 16
+    # Edge padding repeats the last row.
+    np.testing.assert_allclose(np.asarray(padded["a"])[-1, 0], 9.0)
+    same, pad0 = mesh_lib.pad_to_multiple(tree, 5)
+    assert pad0 == 0
+
+
+def test_sinebow_range():
+    h = jnp.linspace(0, 1, 32)
+    rgb = nh_vis.sinebow(h)
+    assert rgb.shape == (32, 3)
+    assert float(rgb.min()) >= 0 and float(rgb.max()) <= 1
+
+
+def test_matte_checkerboard():
+    acc = jnp.zeros((16, 16))
+    vis = jnp.zeros((16, 16, 3))
+    out = np.asarray(nh_vis.matte(vis, acc))
+    # Pure background: checker values 0.8 / 1.0.
+    assert set(np.round(np.unique(out), 4)) == {0.8, 1.0}
+
+
+def test_visualize_cmap_shapes():
+    rng = np.random.RandomState(0)
+    val = jnp.asarray(rng.rand(12, 16), jnp.float32)
+    acc = jnp.ones((12, 16))
+    import matplotlib
+    out = nh_vis.visualize_cmap(val, acc, matplotlib.colormaps["turbo"])
+    assert out.shape == (12, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_weighted_percentile_vis():
+    x = jnp.linspace(0, 1, 100)
+    w = jnp.ones(100)
+    p = nh_vis.weighted_percentile(x, w, [50])
+    np.testing.assert_allclose(float(p[0]), 0.5, atol=0.02)
