@@ -31,7 +31,8 @@ def test_matte_checkerboard():
     vis = jnp.zeros((16, 16, 3))
     out = np.asarray(nh_vis.matte(vis, acc))
     # Pure background: checker values 0.8 / 1.0.
-    assert set(np.round(np.unique(out), 4)) == {0.8, 1.0}
+    vals = sorted(np.unique(np.round(out, 4)))
+    np.testing.assert_allclose(vals, [0.8, 1.0], atol=1e-4)
 
 
 def test_visualize_cmap_shapes():
