@@ -16,6 +16,7 @@ def dataset_registry():
         "phototourism": phototourism.Phototourism,
         "distractor": distractor.Distractor,
         "synthetic": synthetic.Synthetic,
+        "synthetic_distractor": synthetic.SyntheticDistractor,
         # Stubs, matching the reference's NotImplementedError datasets.
         "tat_nerfpp": _not_implemented_loader("TanksAndTemplesNerfPP"),
         "tat_fvs": _not_implemented_loader("TanksAndTemplesFVS"),

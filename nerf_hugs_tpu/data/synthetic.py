@@ -33,11 +33,19 @@ def _sphere_world_color(origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
 
 
 class Synthetic(base.Dataset):
-    """Procedural lookat cameras around a sphere world; no disk access."""
+    """Procedural lookat cameras around a sphere world; no disk access.
+
+    config.dataset_loader='synthetic' gives clean images. Setting the class
+    attribute DISTRACTORS=True (see SyntheticDistractor) pastes a random
+    opaque square into every TRAIN image — an inconsistent transient object —
+    and provides the matching static_masks, emulating the HuGS setting
+    (kubric-style distractors) without disk data.
+    """
 
     NUM_IMAGES = 8
     HEIGHT = 24
     WIDTH = 32
+    DISTRACTORS = False
 
     def _load_renderings(self, config):
         n = self.NUM_IMAGES
@@ -63,8 +71,19 @@ class Synthetic(base.Dataset):
                 xg, yg, pixtocam, c2w)
             image = _sphere_world_color(origins, dirs)
 
+            static_mask = np.ones((h, w, 1), np.float32)
+            if self.DISTRACTORS and self.split == structs.DataSplit.TRAIN:
+                # Paste a random opaque square (a view-inconsistent
+                # transient) and mark it in the mask.
+                sz = max(3, h // 4)
+                y0 = rng.randint(0, h - sz)
+                x0 = rng.randint(0, w - sz)
+                image = image.copy()
+                image[y0:y0 + sz, x0:x0 + sz] = rng.rand(3)
+                static_mask[y0:y0 + sz, x0:x0 + sz] = 0.0
+
             self.images.append(image)
-            self.static_masks.append(np.ones((h, w, 1), np.float32))
+            self.static_masks.append(static_mask)
             self.nears.append(np.full((h, w, 1), self.near, np.float32))
             self.fars.append(np.full((h, w, 1), self.far, np.float32))
             self.distortion_params.append(None)
@@ -82,3 +101,8 @@ class Synthetic(base.Dataset):
         self.embed_idxs = np.array(embeds)
         self.camtoworlds = np.stack(c2ws, axis=0)
         self.pixtocams = np.stack(p2cs, axis=0)
+
+
+class SyntheticDistractor(Synthetic):
+    """Synthetic scene with per-train-image transient squares + HuGS masks."""
+    DISTRACTORS = True
