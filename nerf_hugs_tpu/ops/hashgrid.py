@@ -8,31 +8,48 @@ linear indexing while (N_l+1)^3 fits the table, else the spatial xor-hash
 (primes 1 / 2654435761 / 805459861) modulo table size; trilinear
 interpolation of the 8 corner features; features concatenated over levels.
 
-TPU layout notes (the part that makes this work at batch 16384 x 256
-samples): TPU HBM arrays are tiled (8, 128) on the last two dims, so any
-intermediate with a tiny trailing axis (e.g. [n, L, 8corners]) physically
-pads 16-64x and OOMs. This implementation therefore:
-  * iterates levels/corners in an unrolled loop of FLAT 1-D gathers
-    (1-D arrays tile densely), accumulating weighted features in place;
-  * keeps the per-(level,corner) index and weight as [n] vectors;
-  * only materializes the [n, L*F] output (L*F = 32 for the standard
-    16x2 config — one packed lane group).
-  * stores the table FLAT [L*T*F] — a [L*T, 2] parameter would physically
-    pad 64x (to 16GB for the 2^21 x 16-level config) under TPU tiling, and
-    every access would copy it.
-The backward pass (d table) is the gather transpose — an XLA scatter-add of
-the same flat layout. A Pallas kernel is the planned faster path; this
-formulation is already within ~2x of gather roofline.
+Design driven by the measured v5e cost model (docs/tpu_gather_cost_model.md):
+
+* FORWARD: XLA gather cost is per-index (DMA descriptors), ~160M idx/s for
+  8-byte rows vs ~120M for 4-byte singles. So the table is stored as
+  [L*T, F] rows and each (corner, level, sample) is ONE row gather that
+  fetches both features — half the index count of the round-1 flat layout
+  at a higher rate. All levels ride one fused gather per corner (one big
+  gather beats 16 per-level gathers, measured).
+
+* BACKWARD (`use_custom_vjp`): XLA's scatter-add transpose costs ~93M
+  idx/s for 4B singles (8B rows: 13M/s) -> 10.8s/step at
+  kubric_nerfacto_base shapes. Instead, per level: sort the 8n corner
+  (row, w*g) entries by row id (sort = 328M/s), binary-search the sorted
+  keys for each 256-row table block's entry range, and run a Pallas kernel
+  gridded over table blocks that DMAs its (sorted, contiguous) entries and
+  segment-sums them with an on-the-fly one-hot x values matmul on the MXU.
+  Random scatter becomes streaming reads + dense writes.
+
+* Gradients w.r.t. POSITIONS are not produced by the custom VJP (returned
+  as zeros): every consumer in this codebase feeds stop-gradient sample
+  positions (the reference samples under torch.no_grad, nerfacto.py:321),
+  pixel coordinates, or ray data. Set `use_custom_vjp=False` to get full
+  autodiff through the plain XLA path.
+
+TPU layout notes: HBM arrays tile (8, 128) on the last two dims; rank-3
+intermediates with two small trailing dims (e.g. [n, L, F]) pad up to 64x
+and OOM, so per-level/corner accumulators stay [L, n] and the output is
+assembled column-wise. A [K, 2] rank-2 array with a huge leading dim is
+packed densely (verified by allocation probes in tools/bench_gather.py).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from nerf_hugs_tpu.ops import hashgrid_bwd
 
 _PRIMES = (1, 2654435761, 805459861)
 
@@ -54,6 +71,9 @@ class HashGridSpec:
     base_res: int = 16
     max_res: int = 2048
     num_dims: int = 3
+    # Backward config: bf16 matmul matches the reference's AMP-fp16 grads
+    # (nerfacto/train.py:199-207); fp32 available for strict parity tests.
+    bwd_dtype: str = "bfloat16"
 
     @property
     def table_size(self) -> int:
@@ -67,6 +87,10 @@ class HashGridSpec:
     def output_dim(self) -> int:
         return self.num_levels * self.features_per_level
 
+    @property
+    def num_rows(self) -> int:
+        return self.num_levels * self.table_size
+
     def corner_offsets(self) -> np.ndarray:
         """[2^d, d] binary corner offsets."""
         d = self.num_dims
@@ -78,92 +102,176 @@ class HashGridSpec:
         return (self.resolutions + 1) ** self.num_dims <= self.table_size
 
 
-def _corner_index(spec: HashGridSpec, corner_dims, level: int) -> jnp.ndarray:
-    """Integer corner coords (tuple of d [n] vectors) -> table index [n]."""
-    res = int(spec.resolutions[level])
-    idx = jnp.zeros_like(corner_dims[0], dtype=jnp.uint32)
-    if bool(spec.dense_level()[level]):
-        stride = 1
-        for d in range(spec.num_dims):
-            idx = idx + corner_dims[d].astype(jnp.uint32) * jnp.uint32(stride)
-            stride *= res + 1
-    else:
-        for d in range(spec.num_dims):
-            idx = idx ^ (corner_dims[d].astype(jnp.uint32)
-                         * jnp.uint32(_PRIMES[d % len(_PRIMES)]))
-    return (idx % jnp.uint32(spec.table_size)).astype(jnp.int32)
+def _as_levels(table: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+    """Accept flat [L*T*F], rows [L*T, F], or [L, T, F]; return [L, T, F]."""
+    return table.reshape(spec.num_levels, spec.table_size,
+                         spec.features_per_level)
 
 
-def hashgrid_encode(table: jnp.ndarray, positions: jnp.ndarray,
-                    spec: HashGridSpec) -> jnp.ndarray:
-    """Encode positions in [0, 1]^d -> [..., L*F] features.
+def _dim_terms(spec: HashGridSpec, positions: jnp.ndarray, levels):
+    """Per-dim, per-offset index terms and weights for a level subset.
 
-    table: FLAT [L * T * F] (feature-minor). positions: [..., d] with any
-    leading batch shape.
+    positions: [n, d] in [0,1]. levels: list of level ids (must be all-dense
+    or all-hashed — dense levels form a prefix since (N_l+1)^d grows).
+    Returns (terms [d][2] of [L', n] uint32, wpair [d][2] of [L', n] f32).
+    Dense corner index = sum_d term_d; hashed = xor_d term_d & (T-1).
+    Splitting dense/hashed statically avoids computing both paths + select
+    per corner (the round-1 formulation) — index arithmetic was ~45% of
+    forward time at kubric_nerfacto_base shapes.
+    """
+    d_dims = spec.num_dims
+    res_i = spec.resolutions[levels]
+    dense = bool(spec.dense_level()[levels[0]])
+    res = jnp.asarray(res_i, jnp.float32)[:, None]                 # [L', 1]
+    x = positions.T[:, None, :] * res[None]                        # [d, L', n]
+    x0f = jnp.floor(x)
+    frac = x - x0f
+    x0 = x0f.astype(jnp.uint32)
+    terms, wpair = [], []
+    for d in range(d_dims):
+        if dense:
+            stride = jnp.asarray(((res_i + 1) ** d).astype(np.int64)
+                                 % (1 << 32)).astype(jnp.uint32)[:, None]
+            t0 = x0[d] * stride
+            t1 = t0 + stride
+        else:
+            prime = jnp.uint32(_PRIMES[d % len(_PRIMES)])
+            t0 = x0[d] * prime
+            t1 = t0 + prime
+        terms.append((t0, t1))
+        wpair.append((1.0 - frac[d], frac[d]))
+    return terms, wpair
 
-    Vectorized over levels in [L, n] layout (leading dims don't pad under
-    TPU tiling): one gather of [L*n] per (corner, feature) instead of a
-    16-level unrolled loop — smaller HLO, bigger (faster) gathers. Levels
-    that fit densely use linear indexing; the rest use the spatial hash,
-    selected by a per-level mask.
+
+def _corner_combine(spec: HashGridSpec, terms, wpair, dense: bool):
+    """Yield (idx [L', n] uint32 in [0, T), w [L', n]) per corner."""
+    offsets = spec.corner_offsets()
+    d_dims = spec.num_dims
+    mask = jnp.uint32(spec.table_size - 1)
+    # Shared xy partial products (saves one multiply per corner for d=3).
+    if d_dims >= 2:
+        wxy = {(i, j): wpair[0][i] * wpair[1][j]
+               for i in range(2) for j in range(2)}
+    for c in offsets:
+        idx = terms[0][c[0]]
+        for d in range(1, d_dims):
+            t = terms[d][c[d]]
+            idx = (idx + t) if dense else (idx ^ t)
+        if not dense:
+            idx = idx & mask
+        if d_dims == 1:
+            w = wpair[0][c[0]]
+        elif d_dims == 2:
+            w = wxy[(c[0], c[1])]
+        else:
+            w = wxy[(c[0], c[1])]
+            for d in range(2, d_dims):
+                w = w * wpair[d][c[d]]
+        yield idx, w
+
+
+def _corner_rows_level(spec: HashGridSpec, positions: jnp.ndarray, lvl: int):
+    """Single-level corner rows/weights: ([2^d, n] int32 in [0,T), [2^d, n])."""
+    terms, wpair = _dim_terms(spec, positions, [lvl])
+    dense = bool(spec.dense_level()[lvl])
+    rows, weights = [], []
+    for idx, w in _corner_combine(spec, terms, wpair, dense):
+        rows.append(idx[0].astype(jnp.int32))
+        weights.append(w[0])
+    return jnp.stack(rows), jnp.stack(weights)
+
+
+def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
+                 spec: HashGridSpec) -> jnp.ndarray:
+    """Plain XLA encode: positions [..., d] -> [..., L*F]. Differentiable.
+
+    One corner-fused row gather per level: gathers from operands larger
+    than ~2^23 rows fall off a descriptor cliff (157 -> 84M idx/s) while
+    per-level [T, F] slices of a [L, T, F] table pipeline at ~215M idx/s
+    (tools/bench_gather.py) — so levels are NOT fused into one gather.
     """
     lead_shape = positions.shape[:-1]
     positions = positions.reshape(-1, spec.num_dims)
-    offsets = spec.corner_offsets()          # [2^d, d] (host numpy)
-    num_corners = offsets.shape[0]
+    tab = _as_levels(table, spec)
     f = spec.features_per_level
-    L = spec.num_levels
-    d_dims = spec.num_dims
+    n = positions.shape[0]
+    num_corners = 1 << spec.num_dims
 
-    res = jnp.asarray(spec.resolutions, jnp.float32)[:, None]      # [L, 1]
-    dense = spec.dense_level()                                     # [L] host
-    # Per-level dense strides (stride_d = (res+1)^d) and offsets.
-    res_i = spec.resolutions
-    strides = np.stack([(res_i + 1) ** d for d in range(d_dims)], 0)  # [d, L]
-    strides_j = jnp.asarray(strides.astype(np.int64) % (1 << 32)
-                            ).astype(jnp.uint32)[:, :, None]          # [d,L,1]
-    dense_mask = jnp.asarray(dense)[:, None]                          # [L, 1]
-    level_base = (jnp.arange(L, dtype=jnp.int32) * spec.table_size
-                  )[:, None]                                          # [L, 1]
-
-    # [d, L, n] integer cell coords and fractions.
-    x = positions.T[:, None, :] * res[None]            # [d, L, n]
-    x0 = jnp.floor(x)
-    frac = x - x0
-
-    acc = [jnp.zeros((L, positions.shape[0])) for _ in range(f)]
-    for c in range(num_corners):
-        corner = x0 + jnp.asarray(offsets[c], jnp.float32)[:, None, None]
-        corner_u = corner.astype(jnp.uint32)           # [d, L, n]
-        idx_dense = jnp.zeros_like(corner_u[0])
-        idx_hash = jnp.zeros_like(corner_u[0])
-        for d in range(d_dims):
-            idx_dense = idx_dense + corner_u[d] * strides_j[d]
-            idx_hash = idx_hash ^ (corner_u[d]
-                                   * jnp.uint32(_PRIMES[d % len(_PRIMES)]))
-        idx = jnp.where(dense_mask, idx_dense, idx_hash)
-        idx = (idx % jnp.uint32(spec.table_size)).astype(jnp.int32)
-        idx = (idx + level_base) * f                   # [L, n]
-        w = jnp.ones_like(frac[0])
-        for d in range(d_dims):
-            w = w * jnp.where(offsets[c, d], frac[d], 1.0 - frac[d])
-        flat_idx = idx.reshape(-1)
-        for j in range(f):
-            vals = jnp.take(table, flat_idx + j, axis=0).reshape(idx.shape)
-            acc[j] = acc[j] + w * vals
-    # Assemble [n, L*F] directly from [n] row slices — stacking into an
-    # [L, n, F] intermediate would pad its trailing F=2 axis 64x under TPU
-    # tiling (17GB at batch 16384 x 128 samples).
-    columns = [acc[j][l] for l in range(L) for j in range(f)]
-    out = jnp.stack(columns, axis=-1)                  # [n, L*F]
+    outs = []
+    for lvl in range(spec.num_levels):
+        rows, weights = _corner_rows_level(spec, positions, lvl)  # [2^d, n]
+        vals = jnp.take(tab[lvl], rows.reshape(-1), axis=0)       # [2^d*n, F]
+        vals = vals.reshape(num_corners, n, f)
+        outs.append(jnp.sum(weights[..., None] * vals, axis=0))   # [n, F]
+    out = jnp.concatenate(outs, axis=-1)               # [n, L*F]
     return out.reshape(lead_shape + (spec.output_dim,))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _encode_custom(table, positions, spec: HashGridSpec, interpret: bool):
+    return _encode_impl(table, positions, spec)
+
+
+def _encode_custom_fwd(table, positions, spec, interpret):
+    # The table is used linearly, so only positions (to recompute indices
+    # and trilinear weights — cheaper than saving 8x[L,n] residuals) and the
+    # table dtype are needed for the backward.
+    out = _encode_impl(table, positions, spec)
+    return out, (positions, jnp.zeros((0,), table.dtype))
+
+
+def _encode_custom_bwd(spec, interpret, residuals, g):
+    positions, dtype_probe = residuals
+    pos = positions.reshape(-1, spec.num_dims)
+    f = spec.features_per_level
+    gf = g.reshape(-1, spec.num_levels * f)            # [n, L*F]
+
+    grads = []
+    for lvl in range(spec.num_levels):
+        # Recompute this level's corner rows/weights (cheaper than holding
+        # [2^d, L, n] residuals across all levels' kernels).
+        rows, weights = _corner_rows_level(spec, pos, lvl)       # [2^d, n]
+        keys = rows.reshape(-1)                                  # [2^d*n]
+        g_lvl = gf[:, lvl * f:(lvl + 1) * f]                     # [n, F]
+        # vals[c*n + i, j] = w_c[i] * g[i, lvl, j]
+        vals = (weights[:, :, None] * g_lvl[None]).reshape(-1, f)
+        grads.append(hashgrid_bwd.block_segment_sum(
+            keys, vals, spec.table_size,
+            val_dtype=spec.bwd_dtype, interpret=interpret))
+    grad_tab = jnp.stack(grads, axis=0)                # [L, T, F]
+    return grad_tab.astype(dtype_probe.dtype), jnp.zeros_like(positions)
+
+
+_encode_custom.defvjp(_encode_custom_fwd, _encode_custom_bwd)
+
+
+def hashgrid_encode(table: jnp.ndarray, positions: jnp.ndarray,
+                    spec: HashGridSpec,
+                    use_custom_vjp: bool = False) -> jnp.ndarray:
+    """Encode positions in [0, 1]^d -> [..., L*F] features.
+
+    table: [L, T, F] (or [L*T, F] rows / flat [L*T*F] — same memory).
+    With `use_custom_vjp` the sorted-scatter Pallas backward replaces XLA's
+    scatter-add transpose (see module docstring); positions then receive a
+    zero cotangent. Off-TPU (the CPU test mesh) the plain XLA path is used
+    instead — interpret-mode Pallas over thousands of grid steps is far
+    slower than XLA's scatter there; the kernel itself is covered by
+    dedicated interpret-mode tests (tests/test_ops.py).
+    """
+    if not use_custom_vjp or jax.default_backend() not in ("tpu", "axon"):
+        return _encode_impl(table, positions, spec)
+    # Normalize to the level layout outside the custom VJP so flat tables
+    # get their gradient reshaped by autodiff of this reshape.
+    return _encode_custom(_as_levels(table, spec), positions, spec, False)
 
 
 class HashGridEncoding(nn.Module):
     """Flax wrapper owning the table parameter (uniform(-1e-4, 1e-4) init,
-    matching tcnn's default)."""
+    matching tcnn's default). Stores the table as [L, T, F] — per-level
+    row-gather is the fast layout on TPU (docs/tpu_gather_cost_model.md)."""
     spec: HashGridSpec
     param_dtype: jnp.dtype = jnp.float32
+    use_custom_vjp: bool = True
 
     @nn.compact
     def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
@@ -171,6 +279,7 @@ class HashGridEncoding(nn.Module):
             "table",
             lambda key, shape: jax.random.uniform(
                 key, shape, self.param_dtype, -1e-4, 1e-4),
-            (self.spec.num_levels * self.spec.table_size
-             * self.spec.features_per_level,))
-        return hashgrid_encode(table, positions, self.spec)
+            (self.spec.num_levels, self.spec.table_size,
+             self.spec.features_per_level))
+        return hashgrid_encode(table, positions, self.spec,
+                               use_custom_vjp=self.use_custom_vjp)

@@ -1,0 +1,160 @@
+"""Sorted-scatter table gradient for the hash grid: a Pallas TPU kernel.
+
+Problem: the gather transpose (d loss / d table) is a scatter-add of
+K = 2^d * n_samples weighted-gradient rows into the level's [T, F] table.
+XLA lowers this to per-element descriptor DMAs at ~93M idx/s (f32 singles;
+8-byte rows are 7x worse) — see docs/tpu_gather_cost_model.md. At
+kubric_nerfacto_base shapes that is ~10.8 s/step, the round-1 wall.
+
+This module replaces it with (reference op: tiny-cuda-nn's hash-grid
+backward scatter, nerfacto/models/nerfacto.py:716-734):
+
+1. `jax.lax.sort` entries by table row id (measured 328M entries/s with an
+   f32 pair payload) — duplicates become adjacent.
+2. A fixed-iteration batched binary search finds each 256-row table block's
+   contiguous slice of the sorted entry array.
+3. A Pallas kernel grids over table blocks. Each step DMAs its entry slice
+   from HBM in 2048-entry chunks (keys and each feature column as [1, K]
+   lane-major streams — the layout DMA slicing likes) and computes
+       block_grad[r, f] += sum_e onehot[r, e] * vals[f, e]
+   as an MXU dot_general contracting the entry (lane) dim of both sides.
+   The one-hot is built on the fly from a sublane-iota compare (~0.25 VPU
+   ops per entry, no transposes). Duplicate rows simply accumulate through
+   the matmul — the one-hot matmul IS the segment sum. Skewed rows
+   (millions of entries hashing into one block) just extend that block's
+   chunk loop; correctness never depends on a per-block capacity.
+
+The matmul runs in bf16 by default with fp32 accumulation — the same grad
+precision class as the reference's AMP-fp16 training (nerfacto/train.py:
+199-207); pass val_dtype='float32' for strict-parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_R = 256   # table rows per grid step (sublane-dim of the one-hot)
+CHUNK = 2048    # sorted entries DMA'd per inner iteration (128-multiple)
+
+
+def _kernel(starts_ref, keys_ref, *vrefs_out_scratch, block_r, chunk, f,
+            val_dtype):
+    vals_refs = vrefs_out_scratch[:f]
+    out_ref = vrefs_out_scratch[f]
+    kbuf = vrefs_out_scratch[f + 1]
+    vbufs = vrefs_out_scratch[f + 2:f + 2 + f]
+    sems = vrefs_out_scratch[f + 2 + f]
+    j = pl.program_id(0)
+    s = starts_ref[j]
+    e = starts_ref[j + 1]
+    out_ref[:] = jnp.zeros_like(out_ref)
+    start0 = pl.multiple_of((s // 128) * 128, 128)
+    nchunks = pl.cdiv(e - start0, chunk)
+
+    def body(c, carry):
+        st = pl.multiple_of(start0 + c * chunk, 128)
+        copies = [pltpu.make_async_copy(
+            keys_ref.at[:, pl.ds(st, chunk)], kbuf, sems.at[0])]
+        for i in range(f):
+            copies.append(pltpu.make_async_copy(
+                vals_refs[i].at[:, pl.ds(st, chunk)], vbufs[i],
+                sems.at[1 + i]))
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+        rel = kbuf[:] - j * block_r                       # [1, chunk]
+        epos = st + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        valid = (epos >= s) & (epos < e)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (block_r, chunk), 0)
+        oh = ((iota_r == rel) & valid).astype(val_dtype)  # [block_r, chunk]
+        # Streams stay f32 in HBM ([1, N] bf16 would (2,128)-tile and break
+        # DMA slicing); cast to the matmul dtype here.
+        v = jnp.concatenate([vb[:] for vb in vbufs],
+                            axis=0).astype(val_dtype)     # [f, chunk]
+        # Contract the entry dim of both operands: [block_r, f]. The MXU's
+        # default f32 "dot" is a single bf16 pass — force HIGHEST when the
+        # caller asked for strict f32 grads.
+        precision = (jax.lax.Precision.HIGHEST
+                     if val_dtype == jnp.float32 else None)
+        out_ref[:] += jax.lax.dot_general(
+            oh, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        return carry
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+def _bisect_left(keys_sorted: jnp.ndarray, bounds: jnp.ndarray,
+                 k: int) -> jnp.ndarray:
+    """Leftmost insertion positions of `bounds` in sorted keys (static K)."""
+    lo = jnp.zeros_like(bounds)
+    hi = jnp.full_like(bounds, k)
+    for _ in range(max(1, int(np.ceil(np.log2(k + 1))) + 1)):
+        mid = (lo + hi) // 2
+        kv = jnp.take(keys_sorted, jnp.clip(mid, 0, k - 1), axis=0)
+        active = lo < hi
+        pred = kv < bounds
+        lo = jnp.where(active & pred, mid + 1, lo)
+        hi = jnp.where(active & ~pred, mid, hi)
+    return lo
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def block_segment_sum(keys: jnp.ndarray, vals: jnp.ndarray, table_size: int,
+                      val_dtype: str = "bfloat16",
+                      interpret: bool = False) -> jnp.ndarray:
+    """sum vals[k] into out[keys[k]]: [K] int32 x [K, F] -> [T, F] float32.
+
+    Equivalent to `jnp.zeros((T, F)).at[keys].add(vals)` but ~5x faster on
+    TPU (sort + streaming block matmuls instead of per-element scatter).
+    """
+    k = int(keys.shape[0])
+    f = int(vals.shape[1])
+    if k == 0:
+        return jnp.zeros((table_size, f), jnp.float32)
+    block_r = min(BLOCK_R, table_size)
+    assert table_size % block_r == 0, (table_size, block_r)
+    nb = table_size // block_r
+
+    ops = jax.lax.sort([keys] + [vals[:, j] for j in range(f)], num_keys=1)
+    keys_sorted = ops[0]
+
+    bounds = jnp.arange(nb + 1, dtype=jnp.int32) * block_r
+    starts = _bisect_left(keys_sorted, bounds, k)                # [nb+1]
+
+    # Pad so any 128-aligned chunk window starting below K stays in bounds.
+    k_pad = (k // CHUNK + 2) * CHUNK
+    keys_p = jnp.full((1, k_pad), table_size, jnp.int32)
+    keys_p = jax.lax.dynamic_update_slice(keys_p, keys_sorted[None, :], (0, 0))
+    vals_p = []
+    for j in range(f):
+        col = jnp.zeros((1, k_pad), jnp.float32)
+        vals_p.append(jax.lax.dynamic_update_slice(
+            col, ops[1 + j][None, :], (0, 0)))
+
+    kernel = functools.partial(_kernel, block_r=block_r, chunk=CHUNK, f=f,
+                               val_dtype=jnp.dtype(val_dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + f),
+        out_specs=pl.BlockSpec((block_r, f), lambda j, starts: (j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, CHUNK), jnp.int32),
+        ] + [pltpu.VMEM((1, CHUNK), jnp.float32) for _ in range(f)
+             ] + [pltpu.SemaphoreType.DMA((1 + f,))],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((table_size, f), jnp.float32),
+        interpret=interpret,
+    )(starts, keys_p, *vals_p)
