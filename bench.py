@@ -47,10 +47,11 @@ def main():
     rays = _example_rays(BATCH_SIZE)
     rgb = np.random.RandomState(1).rand(BATCH_SIZE, 3).astype(np.float32)
     batch = mesh_lib.shard_batch(structs.Batch(rays=rays, rgb=rgb), mesh)
-    thresholds = jnp.ones(config.model.num_levels)
+    thresholds = mesh_lib.replicate(
+        jnp.ones(config.num_ray_levels), mesh)
     train_frac = jnp.asarray(0.5)
 
-    rng = jax.random.PRNGKey(1)
+    rng = mesh_lib.replicate(jax.random.PRNGKey(1), mesh)
     for _ in range(WARMUP_STEPS):
         state, stats, rng = train_step(rng, state, batch, train_frac,
                                        thresholds)

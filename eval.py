@@ -96,9 +96,12 @@ def main(argv=None):
         all_metrics = []
         num_eval = min(dataset.size, config.eval_dataset_limit)
         for idx in range(num_eval):
-            batch = next(dataset)
             if idx % config.eval_render_interval != 0:
                 continue
+            # Fetch by camera index, not iterator order: in checkpoint-polling
+            # mode a limited first pass leaves the iterator mid-cycle, so
+            # next(dataset) on later passes would mislabel images/metrics.
+            batch = dataset.generate_ray_batch(idx)
             t0 = time.time()
             rendering = render_image(render_eval_fn, batch.rays, 1.0,
                                      state.params, config, mesh)

@@ -123,6 +123,7 @@ int32_t rs_sample_batch(const Scene* scene, uint64_t seed, int32_t n_patches,
   }
 
   std::atomic<int32_t> next_patch{0};
+  std::atomic<bool> degenerate{false};
   auto worker = [&]() {
     for (;;) {
       const int32_t patch = next_patch.fetch_add(1);
@@ -131,7 +132,13 @@ int32_t rs_sample_batch(const Scene* scene, uint64_t seed, int32_t n_patches,
       const int32_t span = (p - 1) * patch_dilation;
       int32_t max_x = (half_image ? im.width / 2 : im.width) - span;
       int32_t max_y = im.height - span;
-      if (max_x <= 0 || max_y <= 0) continue;  // degenerate; leave zeros
+      if (max_x <= 0 || max_y <= 0) {
+        // Patch does not fit this image: outputs for it would be
+        // uninitialized garbage. Flag it so the caller raises instead of
+        // silently training on junk (the numpy fallback raises too).
+        degenerate.store(true, std::memory_order_relaxed);
+        continue;
+      }
       Pcg32 rng(seed ^ (0x9e3779b97f4a7c15ULL * (patch + 1)), /*seq=*/2);
       const int32_t x0 = static_cast<int32_t>(rng.bounded(max_x));
       const int32_t y0 = static_cast<int32_t>(rng.bounded(max_y));
@@ -167,7 +174,7 @@ int32_t rs_sample_batch(const Scene* scene, uint64_t seed, int32_t n_patches,
     for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
     for (auto& t : threads) t.join();
   }
-  return 0;
+  return degenerate.load(std::memory_order_relaxed) ? -3 : 0;
 }
 
 }  // extern "C"

@@ -312,6 +312,19 @@ class Config:
             if getattr(self, f"finetune_{name}") is None:
                 setattr(self, f"finetune_{name}", getattr(self, name))
 
+    @property
+    def num_ray_levels(self) -> int:
+        """Renderings per forward pass (the per-level loss axis). The
+        robustnerf inlier-threshold carried state has this shape; using it
+        for the initial value keeps the train step's jit signature stable
+        across the threshold feedback loop (one compile, not two — the
+        reference keeps a fixed buffer for the same reason, train.py:130)."""
+        if self.model_type == "nerfacto":
+            return self.nerfacto.num_proposal_iterations + 1
+        if self.model_type == "nerf":
+            return 2  # coarse/fine
+        return self.model.num_levels
+
 
 # Callable registries resolved by models at construction.
 def resolve_activation(name: str):

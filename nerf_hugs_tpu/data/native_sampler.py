@@ -92,6 +92,10 @@ class NativeSampler:
         self._scene = lib.rs_create_scene()
         self._keepalive = []
         self.num_threads = num_threads or min(8, os.cpu_count() or 4)
+        # For degenerate-patch validation in sample(): the smallest usable
+        # image extents across the scene.
+        self._min_height = min(int(i.shape[0]) for i in images)
+        self._min_width = min(int(i.shape[1]) for i in images)
         for img, mask, near, far, embed in zip(images, masks, nears, fars,
                                                embed_idxs):
             img = np.ascontiguousarray(img, np.float32)
@@ -113,21 +117,34 @@ class NativeSampler:
                half_image: bool = False):
         """Returns flat arrays (pix_x, pix_y, cam_idx, embed_idx, rgb, mask,
         near, far) of length n_patches * patch_size^2."""
+        span = (patch_size - 1) * patch_dilation
+        min_w = self._min_width // 2 if half_image else self._min_width
+        if span >= min_w or span >= self._min_height:
+            raise ValueError(
+                f"patch span {span + 1} (patch_size {patch_size} x dilation "
+                f"{patch_dilation}) does not fit the smallest image "
+                f"({self._min_height}x{min_w}{' half' if half_image else ''})")
         n_rays = n_patches * patch_size * patch_size
-        pix_x = np.empty(n_rays, np.int32)
-        pix_y = np.empty(n_rays, np.int32)
-        cam_idx = np.empty(n_rays, np.int32)
-        embed_idx = np.empty(n_rays, np.int32)
-        rgb = np.empty((n_rays, 3), np.float32)
-        mask = np.empty(n_rays, np.float32)
-        near = np.empty(n_rays, np.float32)
-        far = np.empty(n_rays, np.float32)
+        # zeros, not empty: if the native side ever skips a patch, the batch
+        # must not contain uninitialized cam/pix indices.
+        pix_x = np.zeros(n_rays, np.int32)
+        pix_y = np.zeros(n_rays, np.int32)
+        cam_idx = np.zeros(n_rays, np.int32)
+        embed_idx = np.zeros(n_rays, np.int32)
+        rgb = np.zeros((n_rays, 3), np.float32)
+        mask = np.zeros(n_rays, np.float32)
+        near = np.zeros(n_rays, np.float32)
+        far = np.zeros(n_rays, np.float32)
         status = self._lib.rs_sample_batch(
             self._scene, ctypes.c_uint64(seed), n_patches, patch_size,
             patch_dilation, image_num_per_batch, int(half_image),
             self.num_threads, _i32ptr(pix_x), _i32ptr(pix_y),
             _i32ptr(cam_idx), _i32ptr(embed_idx), _f32ptr(rgb),
             _f32ptr(mask), _f32ptr(near), _f32ptr(far))
+        if status == -3:
+            raise RuntimeError(
+                "rs_sample_batch: patch does not fit an image "
+                "(degenerate patch span)")
         if status != 0:
             raise RuntimeError(f"rs_sample_batch failed with {status}")
         return pix_x, pix_y, cam_idx, embed_idx, rgb, mask, near, far

@@ -76,48 +76,58 @@ def _inner_patch_mask(inner, outer, dtype=jnp.float32):
                    ((0, 0), (lo, hi), (lo, hi), (0, 0)))
 
 
-def robustnerf_mask(errors, inlier_threshold, config):
-    """RobustNeRF inlier mask over [n, p, p, c] patch errors
-    (train_utils.py:251-348). A pixel is an inlier if ANY of:
-      (a) its error < the threshold tracked from previous steps,
-      (b) >=q of its fxf neighborhood are (a)-inliers,
-      (c) it sits in the inner 8x8 and >=q of the whole patch are (a)-inliers.
-    Returns (mask, stats) where stats carries the NEXT step's threshold
-    (the batch quantile of current errors)."""
-    epsilon = 1e-3
-    dtype = errors.dtype
-    error_per_pixel = jnp.mean(errors, axis=-1, keepdims=True)  # [n,p,p,1]
-    next_threshold = jnp.quantile(error_per_pixel,
-                                  config.robustnerf_inlier_quantile)
-    stats = {"inlier_threshold": next_threshold}
+def _box_mean_nhwc(x, size: int):
+    """SAME zero-padded box filter over the two spatial dims of [n,h,w,1].
 
+    reduce_window works on NHWC directly — no layout gymnastics — and zero
+    padding matches a SAME conv, so values are identical to a box conv."""
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, window_dimensions=(1, size, size, 1),
+        window_strides=(1, 1, 1, 1), padding="SAME")
+    return summed / (size * size)
+
+
+def robustnerf_mask(errors, inlier_threshold, config):
+    """RobustNeRF inlier mask over [n, p, p, c] patch errors.
+
+    Math per the RobustNeRF paper (sec. 4; the reference applies it at
+    train_utils.py:251-348). A pixel keeps its loss if ANY of:
+      (a) its channel-mean error beats the threshold carried from previous
+          steps ("trimmed" per-pixel test),
+      (b) at least q_s of its fxf neighborhood passes (a),
+      (c) it lies in the centered inner patch and at least q_p of the whole
+          patch passes (a).
+    Returns (mask, stats); stats['inlier_threshold'] is the NEXT step's
+    threshold — the running batch quantile of current errors.
+    """
     if config.robustnerf_inner_patch_size > config.patch_size:
         raise ValueError("robustnerf_inner_patch_size must be <= patch_size")
+    dtype = errors.dtype
+    pixel_err = jnp.mean(errors, axis=-1, keepdims=True)     # [n, p, p, 1]
 
-    is_inlier = (error_per_pixel < inlier_threshold).astype(dtype)
-    stats["is_inlier_loss"] = jnp.mean(is_inlier)
+    # (a) per-pixel trim against the carried threshold.
+    inlier = (pixel_err < inlier_threshold).astype(dtype)
 
-    f = config.robustnerf_smoothed_filter_size
-    window = jnp.ones((1, 1, f, f)) / (f * f)
-    neighbor_frac = jax.lax.conv(
-        jnp.transpose(is_inlier, [0, 3, 1, 2]), window, (1, 1), "SAME")
-    neighbor_frac = jnp.transpose(neighbor_frac, [0, 2, 3, 1])
-    has_inlier_neighbors = (
-        neighbor_frac > 1 - config.robustnerf_smoothed_inlier_quantile
-    ).astype(dtype)
-    stats["has_inlier_neighbors"] = jnp.mean(has_inlier_neighbors)
+    # (b) neighborhood vote: fraction of the fxf window that passed (a).
+    frac = _box_mean_nhwc(inlier, config.robustnerf_smoothed_filter_size)
+    neighbor_ok = frac > 1 - config.robustnerf_smoothed_inlier_quantile
 
-    inner_mask = _inner_patch_mask(config.robustnerf_inner_patch_size,
-                                   config.patch_size, dtype)
-    patch_frac = jnp.mean(is_inlier, axis=[1, 2], keepdims=True)  # [n,1,1,1]
-    is_inlier_patch = (
-        patch_frac > 1 - config.robustnerf_inner_patch_inlier_quantile
-    ).astype(dtype) * inner_mask
-    stats["is_inlier_patch"] = jnp.mean(is_inlier_patch)
+    # (c) whole-patch vote, restricted to the centered inner square.
+    patch_frac = jnp.mean(inlier, axis=(1, 2), keepdims=True)  # [n,1,1,1]
+    patch_ok = ((patch_frac
+                 > 1 - config.robustnerf_inner_patch_inlier_quantile)
+                & (_inner_patch_mask(config.robustnerf_inner_patch_size,
+                                     config.patch_size, dtype) > 0))
 
-    mask = (is_inlier_patch + has_inlier_neighbors + is_inlier
-            > epsilon).astype(dtype)
-    stats["mask"] = jnp.mean(mask)
+    mask = ((inlier > 0) | neighbor_ok | patch_ok).astype(dtype)
+    stats = {
+        "inlier_threshold": jnp.quantile(
+            pixel_err, config.robustnerf_inlier_quantile),
+        "is_inlier_loss": jnp.mean(inlier),
+        "has_inlier_neighbors": jnp.mean(neighbor_ok.astype(dtype)),
+        "is_inlier_patch": jnp.mean(patch_ok.astype(dtype)),
+        "mask": jnp.mean(mask),
+    }
     return mask, stats
 
 

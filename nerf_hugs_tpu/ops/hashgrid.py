@@ -200,9 +200,15 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
     outs = []
     for lvl in range(spec.num_levels):
         rows, weights = _corner_rows_level(spec, positions, lvl)  # [2^d, n]
-        vals = jnp.take(tab[lvl], rows.reshape(-1), axis=0)       # [2^d*n, F]
-        vals = vals.reshape(num_corners, n, f)
-        outs.append(jnp.sum(weights[..., None] * vals, axis=0))   # [n, F]
+        # One gather per corner, rank-2 elementwise accumulation only. A
+        # fused [2^d*n, F] gather + rank-3 reshape + reduce looks cleaner but
+        # makes XLA assign the gather output a (8,128)-tiled row-major
+        # layout — 64x padding on the F=2 axis (16 GB at base shapes).
+        acc = jnp.zeros((n, f))
+        for c in range(num_corners):
+            vals = jnp.take(tab[lvl], rows[c], axis=0)            # [n, F]
+            acc = acc + weights[c][:, None] * vals
+        outs.append(acc)
     out = jnp.concatenate(outs, axis=-1)               # [n, L*F]
     return out.reshape(lead_shape + (spec.output_dim,))
 
@@ -232,9 +238,11 @@ def _encode_custom_bwd(spec, interpret, residuals, g):
         # [2^d, L, n] residuals across all levels' kernels).
         rows, weights = _corner_rows_level(spec, pos, lvl)       # [2^d, n]
         keys = rows.reshape(-1)                                  # [2^d*n]
-        g_lvl = gf[:, lvl * f:(lvl + 1) * f]                     # [n, F]
-        # vals[c*n + i, j] = w_c[i] * g[i, lvl, j]
-        vals = (weights[:, :, None] * g_lvl[None]).reshape(-1, f)
+        # Per-feature 1-D payload columns (a [2^d*n, F] array would invite
+        # the 64x tiled-layout padding — see _encode_impl).
+        vals = tuple(
+            (weights * gf[:, lvl * f + j][None, :]).reshape(-1)
+            for j in range(f))
         grads.append(hashgrid_bwd.block_segment_sum(
             keys, vals, spec.table_size,
             val_dtype=spec.bwd_dtype, interpret=interpret))

@@ -21,11 +21,18 @@ def maybe_initialize_distributed() -> None:
     """Initialize jax.distributed for multi-host meshes when the environment
     provides coordination info (NERF_HUGS_MULTIHOST=1 forces it; standard
     JAX/TPU env vars are auto-detected by jax.distributed.initialize).
-    Single-host runs skip it — replaces the reference's implicit multi-host
-    pmap setup (SURVEY.md §2.h)."""
+
+    MUST run before any JAX API that touches devices (jax.devices,
+    jax.device_count, jax.process_count, ...): those initialize the local
+    backend, after which jax.distributed.initialize() fails and the run
+    silently degrades to independent single-host processes. The decision is
+    therefore made from env vars alone — replaces the reference's implicit
+    multi-host pmap setup (SURVEY.md §2.h)."""
     import os
-    want = os.environ.get("NERF_HUGS_MULTIHOST") == "1" or         "JAX_COORDINATOR_ADDRESS" in os.environ or         "COORDINATOR_ADDRESS" in os.environ
-    if want and jax.process_count() == 1:
+    want = (os.environ.get("NERF_HUGS_MULTIHOST") == "1"
+            or "JAX_COORDINATOR_ADDRESS" in os.environ
+            or "COORDINATOR_ADDRESS" in os.environ)
+    if want:
         try:
             jax.distributed.initialize()
         except Exception as e:  # already initialized or no coordinator

@@ -48,9 +48,13 @@ def render_image(render_fn: Callable, rays: structs.Rays, train_frac,
         chunk_renderings, _ = render_fn(variables, train_frac, chunk_rays)
         chunk_renderings = jax.device_get(chunk_renderings)
         if padding > 0:
-            chunk_renderings = jax.tree_util.tree_map(
-                lambda v: v[:-padding] if v.shape[0] > padding else v,
-                chunk_renderings)
+            # Trim pad rows from per-ray buffers only: the 'ray_*' vis bags
+            # were already subsampled to vis_num_rays inside the model, so
+            # their leading axis is not aligned with the padded chunk.
+            chunk_renderings = [
+                {k: (v if k.startswith("ray_") else v[:-padding])
+                 for k, v in level.items()}
+                for level in chunk_renderings]
         # Final level's buffers + every level's ray_* bags.
         chunk_rendering = chunk_renderings[-1]
         for k in chunk_renderings[0]:

@@ -77,3 +77,24 @@ def test_bounds(sampler_and_data):
         pix_x, pix_y, *_ = sampler.sample(seed, 16, 5, 2, 4)
         assert pix_x.min() >= 0 and pix_x.max() < w
         assert pix_y.min() >= 0 and pix_y.max() < h
+
+
+def test_degenerate_patch_span_raises(sampler_and_data):
+    """Patches that cannot fit an image must raise loudly, never return
+    uninitialized buffers (the numpy fallback raises in the same case)."""
+    sampler = sampler_and_data[0]
+    # Images are 24x32: patch_size 40 cannot fit.
+    with pytest.raises(ValueError, match="does not fit"):
+        sampler.sample(seed=1, n_patches=4, patch_size=40, patch_dilation=1,
+                       image_num_per_batch=2)
+    # Dilation can push the span past the image too.
+    with pytest.raises(ValueError, match="does not fit"):
+        sampler.sample(seed=1, n_patches=4, patch_size=16, patch_dilation=3,
+                       image_num_per_batch=2)
+    # half_image halves the usable width (phototourism finetune protocol):
+    # a 16-wide patch exactly fits the 16-pixel half, 17 does not.
+    sampler.sample(seed=1, n_patches=4, patch_size=16, patch_dilation=1,
+                   image_num_per_batch=2, half_image=True)
+    with pytest.raises(ValueError, match="does not fit"):
+        sampler.sample(seed=1, n_patches=4, patch_size=17, patch_dilation=1,
+                       image_num_per_batch=2, half_image=True)

@@ -179,3 +179,29 @@ def test_withmask_suppresses_distractors(mesh):
     assert psnr_mask > psnr_base + 2, (
         f"withmask failed to beat base on poisoned data: "
         f"{psnr_base:.2f} vs {psnr_mask:.2f}")
+
+
+def test_robustnerf_threshold_feedback_compiles_once(mesh):
+    """The robustnerf threshold fed back from stats must keep the train
+    step's jit signature stable: a shape change would retrace the donated
+    step at step 2 (a 20-400s remote compile on the real TPU). Guards
+    train.py's `jnp.ones(config.num_ray_levels)` init."""
+    config = tiny_config(transient_type="robustnerf", patch_size=8,
+                         batch_size=512, robustnerf_inner_patch_size=4)
+    dataset = load_dataset("train", "", config)
+    rng = jax.random.PRNGKey(0)
+    _, state, _, train_step, _ = train_step_lib.setup_model(
+        config, rng, mesh)
+    state = mesh_lib.replicate(state, mesh)
+    # Initial loop-carried values must be committed with the same sharding
+    # the step outputs carry, or the feedback changes the jit cache key.
+    thresholds = mesh_lib.replicate(jnp.ones(config.num_ray_levels), mesh)
+    rngs = mesh_lib.replicate(jax.random.PRNGKey(1), mesh)
+    for step, batch in zip(range(3), dataset):
+        batch = mesh_lib.shard_batch(batch, mesh)
+        state, stats, rngs = train_step(rngs, state, batch,
+                                        jnp.asarray(0.1), thresholds)
+        assert stats["robust_inlier_threshold"].shape == thresholds.shape
+        thresholds = stats["robust_inlier_threshold"]
+    assert train_step._cache_size() == 1, (
+        "threshold feedback retraced the train step")

@@ -1,0 +1,95 @@
+"""Benchmark the nerfacto train step on real TPU hardware.
+
+Measures full jitted train steps (fwd + bwd + optimizer) at two shapes:
+  * base  — configs/nerfacto/kubric_nerfacto_base.yml (the reference's
+    shipped shape: batch 16384, 256+128 samples, 16 levels, 2^21 table;
+    /root/reference/nerfacto/configs/kubric_nerfacto_base.yml)
+  * tpu   — configs/nerfacto/kubric_nerfacto_tpu.yml (the TPU-tuned shape)
+
+Prints one JSON line per shape. bench.py embeds the base number in its
+"extra" section for BENCH_r{N}.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _example_rays(batch_size: int):
+    from nerf_hugs_tpu.utils import structs
+    rng = np.random.RandomState(0)
+    dirs = rng.randn(batch_size, 3).astype(np.float32)
+    vd = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return structs.Rays(
+        pix_coords=rng.rand(batch_size, 2).astype(np.float32),
+        origins=0.1 * rng.randn(batch_size, 3).astype(np.float32),
+        directions=dirs,
+        viewdirs=vd.astype(np.float32),
+        radii=np.full((batch_size, 1), 0.001, np.float32),
+        lossmult=np.ones((batch_size, 1), np.float32),
+        static_mask=np.ones((batch_size, 1), np.float32),
+        near=np.full((batch_size, 1), 0.2, np.float32),
+        far=np.full((batch_size, 1), 2.0, np.float32),
+        embed_idx=np.zeros((batch_size, 1), np.int32),
+        cam_idx=np.zeros((batch_size, 1), np.int32))
+
+
+def bench_config(path, steps=8, warmup=2):
+    from nerf_hugs_tpu.configs.yaml_loader import load_yaml_config
+    from nerf_hugs_tpu.parallel import mesh as mesh_lib
+    from nerf_hugs_tpu.train import step as train_step_lib
+    from nerf_hugs_tpu.utils import structs
+
+    config = load_yaml_config(path)
+    mesh = mesh_lib.make_mesh(jax.devices())
+    model, state, _, train_step, _ = train_step_lib.setup_model(
+        config, jax.random.PRNGKey(0), mesh)
+    state = mesh_lib.replicate(state, mesh)
+
+    batch_size = config.batch_size
+    rays = _example_rays(batch_size)
+    rgb = np.random.RandomState(1).rand(batch_size, 3).astype(np.float32)
+    batch = mesh_lib.shard_batch(structs.Batch(rays=rays, rgb=rgb), mesh)
+    # Only consumed by robustnerf configs; shape must just stay fixed.
+    thresholds = mesh_lib.replicate(
+        jnp.ones(config.num_ray_levels), mesh)
+    train_frac = jnp.asarray(0.5)
+
+    rng = mesh_lib.replicate(jax.random.PRNGKey(1), mesh)
+    for _ in range(warmup):
+        state, stats, rng = train_step(rng, state, batch, train_frac,
+                                       thresholds)
+    float(stats["loss"])  # device_get barrier (tunnel-safe)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, stats, rng = train_step(rng, state, batch, train_frac,
+                                       thresholds)
+    float(stats["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    return {
+        "config": path,
+        "sec_per_step": round(dt, 3),
+        "rays_per_sec": round(batch_size / dt, 1),
+        "batch_size": batch_size,
+        "loss": float(stats["loss"]),
+    }
+
+
+def main():
+    paths = sys.argv[1:] or [
+        "configs/nerfacto/kubric_nerfacto_base.yml",
+        "configs/nerfacto/kubric_nerfacto_tpu.yml",
+    ]
+    for p in paths:
+        print(json.dumps(bench_config(p)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

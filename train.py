@@ -77,12 +77,15 @@ def main(argv=None):
     from nerf_hugs_tpu.utils import io as nh_io
     from nerf_hugs_tpu.utils import vis as nh_vis
 
+    # Multi-host init must precede any device-touching JAX call (it fails
+    # once the local backend exists).
+    mesh_lib.maybe_initialize_distributed()
+
     if config.batch_size % jax.device_count() != 0:
         raise ValueError(
             f"batch_size {config.batch_size} must divide evenly by "
             f"{jax.device_count()} devices")
 
-    mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.make_mesh()
     rng = jax.random.PRNGKey(20200823)
     # Per-host RNG offset for multi-host data parallelism (train.py:47-49).
@@ -146,8 +149,15 @@ def main(argv=None):
             summary_writer = tensorboard.SummaryWriter(
                 os.path.join(config.checkpoint_dir, f"tb_{stage}"))
 
-        inlier_thresholds = jnp.ones(8)  # robustnerf carried state
-        rngs = jax.random.fold_in(rng, 1 if is_finetune else 0)
+        # RobustNeRF carried state: the shape must match the per-level
+        # threshold fed back from stats AND the value must be committed with
+        # the replicated mesh sharding the step outputs carry — either
+        # mismatch retraces the donated train step at step 2 (a 20-400s
+        # remote compile in this environment).
+        inlier_thresholds = mesh_lib.replicate(
+            jnp.ones(config.num_ray_levels), mesh)
+        rngs = mesh_lib.replicate(
+            jax.random.fold_in(rng, 1 if is_finetune else 0), mesh)
         stats_buffer = []
         train_start_time = time.time()
         total_time, total_steps = 0, 0
