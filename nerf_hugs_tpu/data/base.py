@@ -100,8 +100,14 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
         # cameras are homogeneous enough for batch ray casting; numpy
         # fallback otherwise. render_path has no images to gather.
         self._native = None
+
+        def _distortion_key(d):
+            # Canonical form: key-sorted items (dict repr ordering is an
+            # accident of insertion order).
+            return None if d is None else tuple(sorted(d.items()))
+
         homogeneous_cams = (
-            len(set(map(str, self.distortion_params))) == 1
+            len({_distortion_key(d) for d in self.distortion_params}) == 1
             and len(set(self.camtypes)) == 1)
         if is_training and not self.render_path and homogeneous_cams:
             try:
@@ -147,6 +153,59 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
     @abc.abstractmethod
     def _load_renderings(self, config: Config):
         ...
+
+    def _apply_render_path(self, config: Config,
+                           render_poses: Optional[np.ndarray] = None):
+        """Swap this split's cameras for a generated render path.
+
+        Called by loaders at the end of _load_renderings when
+        config.render_path is set (the render.py flow). Pose priority:
+          1. config.render_path_file — an .npy of [n, 3|4, 4] camera-to-world
+             poses in this loader's world frame (post PCA/recenter);
+          2. config.render_spline_keyframes — keyframe-interpolated spline
+             (camera_utils.create_render_spline_path);
+          3. `render_poses` from the caller (e.g. LLFF's spiral), else an
+             inward-facing ellipse fit to this split's poses.
+        Intrinsics/near/far/masks are replicated from camera 0 (render paths
+        have no per-frame images). Extends the reference, whose generic
+        render_path branch is NotImplementedError (datasets.py:330-333);
+        pose generation follows its LLFF-only path (datasets.py:728-745).
+        """
+        from nerf_hugs_tpu.cameras import camera_utils as cu
+        if not self.render_path:
+            return
+        if config.render_path_file:
+            with open(config.render_path_file, "rb") as fp:
+                poses = np.load(fp)
+            if poses.shape[-2:] == (4, 4):
+                poses = poses[:, :3, :]
+        elif config.render_spline_keyframes:
+            names = (self.image_names if self.image_names is not None
+                     else [f"{i:03d}" for i in range(len(self.camtoworlds))])
+            self.spline_indices, poses = cu.create_render_spline_path(
+                config, names, self.camtoworlds)
+        elif render_poses is not None:
+            poses = render_poses
+        else:
+            poses = cu.generate_ellipse_path(
+                self.camtoworlds, n_frames=config.render_path_frames,
+                z_variation=config.z_variation, z_phase=config.z_phase)
+        n = poses.shape[0]
+        self.render_poses = poses
+        self.camtoworlds = np.asarray(poses, np.float32)
+        rep = lambda x: [x[0]] * n  # shared views, not copies
+        self.pixtocams = np.repeat(self.pixtocams[:1], n, axis=0)
+        self.focals = np.repeat(self.focals[:1], n, axis=0)
+        self.heights = np.repeat(self.heights[:1], n, axis=0)
+        self.widths = np.repeat(self.widths[:1], n, axis=0)
+        self.distortion_params = rep(self.distortion_params)
+        self.camtypes = rep(self.camtypes)
+        self.nears = rep(self.nears)
+        self.fars = rep(self.fars)
+        self.static_masks = rep(self.static_masks)
+        self.embed_idxs = np.zeros(n, self.embed_idxs.dtype)
+        self.images = None
+        self.image_names = [f"{i:03d}" for i in range(n)]
 
     def _make_ray_batch(self, pix_x_int: np.ndarray, pix_y_int: np.ndarray,
                         cam_idx: int,

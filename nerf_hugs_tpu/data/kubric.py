@@ -131,3 +131,7 @@ class Kubric(base.Dataset):
         self.embed_idxs = np.array(embeds)
         self.camtoworlds = np.stack(c2ws, axis=0)
         self.pixtocams = np.stack(p2cs, axis=0)
+
+        # render.py path mode: ellipse/spline/file poses replace the split
+        # cameras (base._apply_render_path; extends datasets.py:330-333).
+        self._apply_render_path(config)

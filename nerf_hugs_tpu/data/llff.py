@@ -124,5 +124,9 @@ class LLFF(base.Dataset):
         self.heights = np.array(heights)
         self.widths = np.array(widths)
         self.nears, self.fars = nears, fars
-        self.camtoworlds = (self.render_poses if config.render_path
-                            else poses)
+        self.camtoworlds = poses
+        # render.py path mode: spiral (forward-facing) or ellipse poses were
+        # generated above from ALL poses (pre-split), matching the reference
+        # LLFF flow (datasets.py:728-745); file/spline sources take priority
+        # inside the hook. Intrinsics replicate from camera 0.
+        self._apply_render_path(config, render_poses=self.render_poses)

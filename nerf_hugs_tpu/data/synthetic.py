@@ -102,6 +102,10 @@ class Synthetic(base.Dataset):
         self.camtoworlds = np.stack(c2ws, axis=0)
         self.pixtocams = np.stack(p2cs, axis=0)
 
+        # render.py path mode: ellipse/spline/file poses replace the split
+        # cameras (base._apply_render_path; extends datasets.py:330-333).
+        self._apply_render_path(config)
+
 
 class SyntheticDistractor(Synthetic):
     """Synthetic scene with per-train-image transient squares + HuGS masks."""

@@ -102,10 +102,22 @@ class HashGridSpec:
         return (self.resolutions + 1) ** self.num_dims <= self.table_size
 
 
-def _as_levels(table: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
-    """Accept flat [L*T*F], rows [L*T, F], or [L, T, F]; return [L, T, F]."""
-    return table.reshape(spec.num_levels, spec.table_size,
-                         spec.features_per_level)
+def _as_level_tuple(table, spec: HashGridSpec):
+    """Normalize to a tuple of per-level FLAT [T*F] tables (feature-minor).
+
+    Flat 1-D is the canonical parameter layout: any [*, F] table array in
+    the optimizer/stats graph invites XLA's (8,128)-tiled row-major layout
+    — a 64x padding on the F=2 axis (observed: 1 GB per 16 MB table, OOM at
+    base shapes). The [T, F] view exists only transiently at the gather,
+    where XLA bitcasts it for free (tools/bench_gather.py). Separate
+    per-level arrays also gather ~1.7x faster than slices of one [L, T, F]
+    array (measured). Accepts a tuple of per-level [T*F] or [T, F] arrays,
+    or one flat/[L*T, F]/[L, T, F] array for convenience."""
+    if isinstance(table, (tuple, list)):
+        return tuple(t.reshape(-1) for t in table)
+    t2 = table.reshape(spec.num_levels,
+                       spec.table_size * spec.features_per_level)
+    return tuple(t2[l] for l in range(spec.num_levels))
 
 
 def _dim_terms(spec: HashGridSpec, positions: jnp.ndarray, levels):
@@ -192,7 +204,7 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
     """
     lead_shape = positions.shape[:-1]
     positions = positions.reshape(-1, spec.num_dims)
-    tab = _as_levels(table, spec)
+    tab = _as_level_tuple(table, spec)
     f = spec.features_per_level
     n = positions.shape[0]
     num_corners = 1 << spec.num_dims
@@ -204,9 +216,10 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
         # fused [2^d*n, F] gather + rank-3 reshape + reduce looks cleaner but
         # makes XLA assign the gather output a (8,128)-tiled row-major
         # layout — 64x padding on the F=2 axis (16 GB at base shapes).
+        tab_l = tab[lvl].reshape(spec.table_size, f)  # free bitcast view
         acc = jnp.zeros((n, f))
         for c in range(num_corners):
-            vals = jnp.take(tab[lvl], rows[c], axis=0)            # [n, F]
+            vals = jnp.take(tab_l, rows[c], axis=0)               # [n, F]
             acc = acc + weights[c][:, None] * vals
         outs.append(acc)
     out = jnp.concatenate(outs, axis=-1)               # [n, L*F]
@@ -223,7 +236,7 @@ def _encode_custom_fwd(table, positions, spec, interpret):
     # and trilinear weights — cheaper than saving 8x[L,n] residuals) and the
     # table dtype are needed for the backward.
     out = _encode_impl(table, positions, spec)
-    return out, (positions, jnp.zeros((0,), table.dtype))
+    return out, (positions, jnp.zeros((0,), table[0].dtype))
 
 
 def _encode_custom_bwd(spec, interpret, residuals, g):
@@ -246,8 +259,8 @@ def _encode_custom_bwd(spec, interpret, residuals, g):
         grads.append(hashgrid_bwd.block_segment_sum(
             keys, vals, spec.table_size,
             val_dtype=spec.bwd_dtype, interpret=interpret))
-    grad_tab = jnp.stack(grads, axis=0)                # [L, T, F]
-    return grad_tab.astype(dtype_probe.dtype), jnp.zeros_like(positions)
+    grad_tab = tuple(g.astype(dtype_probe.dtype) for g in grads)
+    return grad_tab, jnp.zeros_like(positions)
 
 
 _encode_custom.defvjp(_encode_custom_fwd, _encode_custom_bwd)
@@ -268,9 +281,10 @@ def hashgrid_encode(table: jnp.ndarray, positions: jnp.ndarray,
     """
     if not use_custom_vjp or jax.default_backend() not in ("tpu", "axon"):
         return _encode_impl(table, positions, spec)
-    # Normalize to the level layout outside the custom VJP so flat tables
-    # get their gradient reshaped by autodiff of this reshape.
-    return _encode_custom(_as_levels(table, spec), positions, spec, False)
+    # Normalize to the per-level layout outside the custom VJP so non-tuple
+    # tables get their gradient reshaped by autodiff of the normalization.
+    return _encode_custom(_as_level_tuple(table, spec), positions, spec,
+                          False)
 
 
 class HashGridEncoding(nn.Module):
@@ -283,11 +297,12 @@ class HashGridEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
-        table = self.param(
-            "table",
-            lambda key, shape: jax.random.uniform(
-                key, shape, self.param_dtype, -1e-4, 1e-4),
-            (self.spec.num_levels, self.spec.table_size,
-             self.spec.features_per_level))
-        return hashgrid_encode(table, positions, self.spec,
+        tables = tuple(
+            self.param(
+                f"table_{l}",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, self.param_dtype, -1e-4, 1e-4),
+                (self.spec.table_size * self.spec.features_per_level,))
+            for l in range(self.spec.num_levels))
+        return hashgrid_encode(tables, positions, self.spec,
                                use_custom_vjp=self.use_custom_vjp)

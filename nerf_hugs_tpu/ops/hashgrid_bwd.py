@@ -50,45 +50,64 @@ def _kernel(starts_ref, keys_ref, *vrefs_out_scratch, block_r, chunk, f,
     kbuf = vrefs_out_scratch[f + 1]
     vbufs = vrefs_out_scratch[f + 2:f + 2 + f]
     sems = vrefs_out_scratch[f + 2 + f]
+    acc_ref = vrefs_out_scratch[f + 2 + f + 1]
     j = pl.program_id(0)
     s = starts_ref[j]
     e = starts_ref[j + 1]
-    out_ref[:] = jnp.zeros_like(out_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
     start0 = pl.multiple_of((s // 128) * 128, 128)
     nchunks = pl.cdiv(e - start0, chunk)
 
-    def body(c, carry):
+    def copies(c, slot):
         st = pl.multiple_of(start0 + c * chunk, 128)
-        copies = [pltpu.make_async_copy(
-            keys_ref.at[:, pl.ds(st, chunk)], kbuf, sems.at[0])]
+        cps = [pltpu.make_async_copy(
+            keys_ref.at[:, pl.ds(st, chunk)], kbuf.at[slot], sems.at[slot, 0])]
         for i in range(f):
-            copies.append(pltpu.make_async_copy(
-                vals_refs[i].at[:, pl.ds(st, chunk)], vbufs[i],
-                sems.at[1 + i]))
-        for cp in copies:
+            cps.append(pltpu.make_async_copy(
+                vals_refs[i].at[:, pl.ds(st, chunk)], vbufs[i].at[slot],
+                sems.at[slot, 1 + i]))
+        return cps
+
+    @pl.when(nchunks > 0)
+    def _():
+        for cp in copies(0, 0):
             cp.start()
-        for cp in copies:
+
+    def body(c, carry):
+        slot = jax.lax.rem(c, 2)
+        # Double buffer: start the next chunk's DMAs before waiting on this
+        # one (the chunk loop is otherwise DMA-latency bound).
+        @pl.when(c + 1 < nchunks)
+        def _():
+            for cp in copies(c + 1, jax.lax.rem(c + 1, 2)):
+                cp.start()
+        for cp in copies(c, slot):
             cp.wait()
-        rel = kbuf[:] - j * block_r                       # [1, chunk]
+        st = pl.multiple_of(start0 + c * chunk, 128)
+        rel = kbuf[slot] - j * block_r                    # [1, chunk]
         epos = st + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         valid = (epos >= s) & (epos < e)
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (block_r, chunk), 0)
         oh = ((iota_r == rel) & valid).astype(val_dtype)  # [block_r, chunk]
         # Streams stay f32 in HBM ([1, N] bf16 would (2,128)-tile and break
         # DMA slicing); cast to the matmul dtype here.
-        v = jnp.concatenate([vb[:] for vb in vbufs],
+        v = jnp.concatenate([vb[slot] for vb in vbufs],
                             axis=0).astype(val_dtype)     # [f, chunk]
         # Contract the entry dim of both operands: [block_r, f]. The MXU's
         # default f32 "dot" is a single bf16 pass — force HIGHEST when the
         # caller asked for strict f32 grads.
         precision = (jax.lax.Precision.HIGHEST
                      if val_dtype == jnp.float32 else None)
-        out_ref[:] += jax.lax.dot_general(
+        acc_ref[:] += jax.lax.dot_general(
             oh, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
         return carry
 
     jax.lax.fori_loop(0, nchunks, body, 0)
+    # Emit feature-major [f, block_r]: a [T, F] pallas output is row-major
+    # tiled, which would propagate 64x-padded layouts into grads/opt state;
+    # the caller transposes to the flat feature-minor parameter layout.
+    out_ref[:] = acc_ref[:].T
 
 
 def _bisect_left(keys_sorted: jnp.ndarray, bounds: jnp.ndarray,
@@ -110,11 +129,13 @@ def _bisect_left(keys_sorted: jnp.ndarray, bounds: jnp.ndarray,
 def block_segment_sum(keys: jnp.ndarray, vals, table_size: int,
                       val_dtype: str = "bfloat16",
                       interpret: bool = False) -> jnp.ndarray:
-    """sum vals[k] into out[keys[k]]: [K] int32 x F arrays of [K] -> [T, F].
+    """sum vals[k] into out rows: [K] int32 x F arrays of [K] -> flat [T*F].
 
-    vals is a tuple of per-feature 1-D columns (1-D end to end — a [K, F]
-    array risks XLA's 64x tiled-layout padding on the 2-wide axis).
-    Equivalent to `jnp.zeros((T, F)).at[keys].add(stack(vals, -1))` but ~5x
+    vals is a tuple of per-feature 1-D columns, and the output is the
+    feature-minor FLAT table gradient — 1-D end to end, because any [*, F]
+    array in the surrounding graph risks XLA's 64x tiled-layout padding on
+    the 2-wide axis. Equivalent to
+    `jnp.zeros((T, F)).at[keys].add(stack(vals, -1)).reshape(-1)` but ~5x
     faster on TPU: sort + streaming block matmuls instead of per-element
     scatter.
     """
@@ -124,7 +145,7 @@ def block_segment_sum(keys: jnp.ndarray, vals, table_size: int,
     k = int(keys.shape[0])
     f = len(vals)
     if k == 0:
-        return jnp.zeros((table_size, f), jnp.float32)
+        return jnp.zeros((table_size * f,), jnp.float32)
     block_r = min(BLOCK_R, table_size)
     assert table_size % block_r == 0, (table_size, block_r)
     nb = table_size // block_r
@@ -151,16 +172,19 @@ def block_segment_sum(keys: jnp.ndarray, vals, table_size: int,
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + f),
-        out_specs=pl.BlockSpec((block_r, f), lambda j, starts: (j, 0),
+        out_specs=pl.BlockSpec((f, block_r), lambda j, starts: (0, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, CHUNK), jnp.int32),
-        ] + [pltpu.VMEM((1, CHUNK), jnp.float32) for _ in range(f)
-             ] + [pltpu.SemaphoreType.DMA((1 + f,))],
+            pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+        ] + [pltpu.VMEM((2, 1, CHUNK), jnp.float32) for _ in range(f)
+             ] + [pltpu.SemaphoreType.DMA((2, 1 + f)),
+                  pltpu.VMEM((block_r, f), jnp.float32)],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((table_size, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((f, table_size), jnp.float32),
         interpret=interpret,
     )(starts, keys_p, *vals_p)
+    # [f, T] -> flat feature-minor [T*F] (1-D end to end outside the kernel).
+    return out.T.reshape(table_size * f)

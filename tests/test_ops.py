@@ -97,9 +97,10 @@ def test_hashgrid_module_init():
     mod = HashGridEncoding(spec)
     pos = jnp.ones((5, 3)) * 0.5
     variables = mod.init(jax.random.PRNGKey(0), pos)
-    table = variables["params"]["table"]
-    assert table.shape == (spec.num_levels, spec.table_size,
-                           spec.features_per_level)
+    params = variables["params"]
+    assert set(params) == {f"table_{l}" for l in range(spec.num_levels)}
+    table = params["table_0"]
+    assert table.shape == (spec.table_size * spec.features_per_level,)
     assert float(jnp.max(jnp.abs(table))) <= 1e-4  # tcnn-style uniform init
     out = mod.apply(variables, pos)
     assert out.shape == (5, spec.output_dim)
@@ -158,19 +159,22 @@ def test_block_segment_sum_matches_scatter_add():
     T, K, F = 1024, 5000, 2
     keys = jax.random.randint(key, (K,), 0, T, jnp.int32)
     vals = jax.random.normal(jax.random.PRNGKey(1), (K, F), jnp.float32)
-    got = hashgrid_bwd.block_segment_sum(keys, vals, T, "float32", True)
+    got = hashgrid_bwd.block_segment_sum(keys, vals, T, "float32",
+                                         True).reshape(T, F)
     want = jnp.zeros((T, F)).at[keys].add(vals)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
     # Skew: every entry lands in one row (one block loops many chunks).
     keys2 = jnp.full((K,), 7, jnp.int32)
-    got2 = hashgrid_bwd.block_segment_sum(keys2, vals, T, "float32", True)
+    got2 = hashgrid_bwd.block_segment_sum(keys2, vals, T, "float32",
+                                          True).reshape(T, F)
     want2 = jnp.zeros((T, F)).at[keys2].add(vals)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=1e-4, atol=1e-3)
     # Block-boundary keys.
     keys3 = jnp.array([0, 255, 256, 511, 512, 1023] * 10, jnp.int32)
     vals3 = jax.random.normal(jax.random.PRNGKey(2), (60, F))
-    got3 = hashgrid_bwd.block_segment_sum(keys3, vals3, T, "float32", True)
+    got3 = hashgrid_bwd.block_segment_sum(keys3, vals3, T, "float32",
+                                          True).reshape(T, F)
     want3 = jnp.zeros((T, F)).at[keys3].add(vals3)
     np.testing.assert_allclose(np.asarray(got3), np.asarray(want3), atol=1e-4)
 
@@ -185,14 +189,16 @@ def test_hashgrid_custom_vjp_matches_autodiff(num_dims):
                                     spec.features_per_level))
     pos = jax.random.uniform(jax.random.PRNGKey(3), (129, num_dims))
     cot = jax.random.normal(jax.random.PRNGKey(4), (129, spec.output_dim))
-    from nerf_hugs_tpu.ops.hashgrid import _encode_custom
+    from nerf_hugs_tpu.ops.hashgrid import _as_level_tuple, _encode_custom
+    tup = _as_level_tuple(table, spec)
     out_plain = hashgrid_encode(table, pos, spec)
-    out_fast = _encode_custom(table, pos, spec, True)
+    out_fast = _encode_custom(tup, pos, spec, True)
     np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_fast))
     g1 = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, pos, spec) * cot))(
         table)
-    g2 = jax.grad(lambda t: jnp.sum(_encode_custom(t, pos, spec, True)
-                                    * cot))(table)
+    g2t = jax.grad(lambda t: jnp.sum(_encode_custom(t, pos, spec, True)
+                                     * cot))(tup)
+    g2 = jnp.stack(g2t).reshape(g1.shape)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-5)
 
@@ -203,12 +209,12 @@ def test_hashgrid_flat_table_roundtrip():
     table = jax.random.normal(jax.random.PRNGKey(0),
                               (spec.num_levels, spec.table_size, 2))
     pos = jax.random.uniform(jax.random.PRNGKey(1), (33, 3))
-    from nerf_hugs_tpu.ops.hashgrid import _as_levels, _encode_custom
+    from nerf_hugs_tpu.ops.hashgrid import _as_level_tuple, _encode_custom
     out3 = hashgrid_encode(table, pos, spec)
     out1 = hashgrid_encode(table.reshape(-1), pos, spec)
     np.testing.assert_array_equal(np.asarray(out3), np.asarray(out1))
     # Flat tables get flat gradients (autodiff through the normalization).
     g = jax.grad(lambda t: jnp.sum(
-        _encode_custom(_as_levels(t, spec), pos, spec, True)))(
+        _encode_custom(_as_level_tuple(t, spec), pos, spec, True)))(
         table.reshape(-1))
     assert g.shape == (spec.num_levels * spec.table_size * 2,)
