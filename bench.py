@@ -15,7 +15,10 @@ is the documented assumption here; the driver records the raw value too.
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 import jax.numpy as jnp
@@ -70,18 +73,34 @@ def main():
     rays_per_sec = steps_per_sec * BATCH_SIZE
     rays_per_sec_per_chip = rays_per_sec / n_chips
 
+    extra = {
+        "steps_per_sec": round(steps_per_sec, 3),
+        "batch_size": BATCH_SIZE,
+        "n_chips": n_chips,
+        "loss": float(stats["loss"]),
+    }
+
+    # Secondary lines: nerfacto backbone (reference-shaped + TPU-tuned) and
+    # the bf16 flagship overlay — recorded in extras so the primary metric
+    # stays the fp32 flagship (round-over-round comparable).
+    import traceback
+
+    from tools.bench_nerfacto import bench_config
+    for key, path, steps in (
+            ("nerfacto_base", "configs/nerfacto/kubric_nerfacto_base.yml", 4),
+            ("nerfacto_tpu", "configs/nerfacto/kubric_nerfacto_tpu.yml", 8)):
+        try:
+            extra[key] = bench_config(path, steps=steps, warmup=1)
+        except Exception:
+            extra[key] = {"error": traceback.format_exc(limit=1)}
+
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec_per_chip, 1),
         "unit": "rays/s",
         "vs_baseline": round(
             rays_per_sec_per_chip / REFERENCE_RAYS_PER_SEC_PER_GPU, 3),
-        "extra": {
-            "steps_per_sec": round(steps_per_sec, 3),
-            "batch_size": BATCH_SIZE,
-            "n_chips": n_chips,
-            "loss": float(stats["loss"]),
-        },
+        "extra": extra,
     }))
 
 

@@ -11,6 +11,7 @@ the unified configs.config.Config, including multi-file layering and
 from __future__ import annotations
 
 import ast
+import os
 import dataclasses
 import re
 from typing import Any, Iterable, List, Optional
@@ -121,12 +122,19 @@ def parse_gin_configs(config_files: List[str],
     for name in ("finetune_batch_size", "finetune_patch_size",
                  "finetune_patch_dilation", "finetune_image_num_per_batch"):
         setattr(config, name, None)
-    for path in config_files or []:
+    def apply_file(path: str) -> None:
         with open(path, "r") as f:
             for line in _logical_lines(f.read()):
                 if line.startswith("include"):
-                    continue  # shipped configs don't use includes
+                    # gin-style include: quoted path, relative to the
+                    # including file (used by the *_tpu_bf16 overlays).
+                    inc = line.split(None, 1)[1].strip().strip("'\"")
+                    apply_file(os.path.join(os.path.dirname(path), inc))
+                    continue
                 apply_binding(config, line)
+
+    for path in config_files or []:
+        apply_file(path)
     for binding in bindings or []:
         apply_binding(config, binding)
     config.__post_init__()  # re-resolve finetune_* aliases after overrides

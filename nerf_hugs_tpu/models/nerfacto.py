@@ -416,7 +416,11 @@ def construct_model(rng, rays: structs.Rays, config):
     """Build + init a NerfactoModel on a 10-ray slice."""
     ray = jax.tree_util.tree_map(
         lambda x: jnp.reshape(x, [-1, x.shape[-1]])[:10], rays)
-    model = NerfactoModel(config=config)
+    # enable_amp (True in every reference yaml; nerfacto/train.py:199-207
+    # autocast fp16) -> bfloat16 MLP compute on TPU, fp32 params/heads.
+    model = NerfactoModel(
+        config=config,
+        compute_dtype=jnp.bfloat16 if config.enable_amp else jnp.float32)
     init_variables = jax.jit(model.init, static_argnames=(
         "train_frac", "compute_extras", "zero_glo", "zero_tra"))(
         rng, rng=None, rays=ray, train_frac=1.0, compute_extras=False,
