@@ -110,6 +110,14 @@ def load_yaml_config(path: str, config: Optional[Config] = None) -> Config:
     config.grad_max_norm = 0.0
     config.grad_max_val = 0.0
     config.__post_init__()
+    if config.nerfacto.enable_tcnn_mlp:
+        # Measured on v5e (docs/tpu_gather_cost_model.md companion note):
+        # the fused kernel's backward recomputes the forward, so training
+        # steps are slower than the Dense stack (1.17 vs 1.13 s/step at
+        # kubric_nerfacto_tpu shapes). Kept for render/eval workloads.
+        print("warning: enable_tcnn_mlp=True — the Pallas fused MLP wins "
+              "forward-only (eval/render); for training the Dense stack is "
+              "faster on TPU.")
     return config
 
 

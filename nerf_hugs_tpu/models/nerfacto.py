@@ -125,6 +125,13 @@ class NerfactoField(nn.Module):
     contraction: bool
     transient: bool
     compute_dtype: jnp.dtype = jnp.float32
+    # Pallas fused-MLP switch. Measured on v5e: the kernel wins ~12% on the
+    # forward but loses fwd+bwd (its backward recomputes the forward), so
+    # enable_tcnn_mlp is recommended for render/eval-only workloads; the
+    # yaml loader warns when it is on for a training config. It cannot be
+    # swapped per-phase: the fused path is bias-free (tcnn semantics), so
+    # its parameter tree differs from the Dense stack's.
+    fused_ok: bool = False
 
     @nn.compact
     def __call__(self, positions, viewdirs, embedded_appearance=None,
@@ -140,7 +147,7 @@ class NerfactoField(nn.Module):
                                                   self.contraction)
         feats = HashGridEncoding(spec, name="hashgrid")(grid_pos)
         h = _ReluMLP(nc.hidden_dim, 2, 1 + nc.geo_feat_dim,
-                     self.compute_dtype, fused=nc.enable_tcnn_mlp,
+                     self.compute_dtype, fused=self.fused_ok,
                      name="mlp_base")(feats.astype(self.compute_dtype))
         raw_density, geo_feat = h[..., :1].astype(jnp.float32), h[..., 1:]
         density = density_act(raw_density) * selector[..., None]
@@ -150,7 +157,7 @@ class NerfactoField(nn.Module):
         if embedded_appearance is not None:
             color_in.append(embedded_appearance.astype(self.compute_dtype))
         raw_rgb = _ReluMLP(nc.hidden_dim_color, 3, 3, self.compute_dtype,
-                           fused=nc.enable_tcnn_mlp, name="mlp_head")(
+                           fused=self.fused_ok, name="mlp_head")(
             jnp.concatenate(color_in, -1))
         rgb = jax.nn.sigmoid(raw_rgb.astype(jnp.float32))
 
@@ -159,7 +166,7 @@ class NerfactoField(nn.Module):
             t_in = jnp.concatenate(
                 [geo_feat, embedded_transient.astype(self.compute_dtype)], -1)
             out = _ReluMLP(nc.hidden_dim_transient, 3, 5, self.compute_dtype,
-                           fused=nc.enable_tcnn_mlp, name="mlp_transient")(
+                           fused=self.fused_ok, name="mlp_transient")(
                 t_in).astype(jnp.float32)
             outputs["density_transient"] = (
                 density_act(out[..., :1]) * selector[..., None])[..., 0]
@@ -174,6 +181,7 @@ class HashMLPDensityField(nn.Module):
     bound: float
     contraction: bool
     compute_dtype: jnp.dtype = jnp.float32
+    fused_ok: bool = False
 
     @nn.compact
     def __call__(self, positions):
@@ -187,7 +195,7 @@ class HashMLPDensityField(nn.Module):
                                                   self.contraction)
         feats = HashGridEncoding(spec, name="hashgrid")(grid_pos)
         raw = _ReluMLP(a.get("hidden_dim", 64), 2, 1, self.compute_dtype,
-                       fused=a.get("enable_tcnn_mlp", False),
+                       fused=self.fused_ok,
                        name="mlp_base")(feats.astype(self.compute_dtype))
         density = trunc_exp(raw.astype(jnp.float32)) * selector[..., None]
         return density[..., 0]
@@ -241,7 +249,8 @@ class NerfactoModel(nn.Module):
         field = NerfactoField(
             nc, bound, contraction,
             transient=(transient_type == "nerfw"),
-            compute_dtype=compute_dtype, name="field")
+            compute_dtype=compute_dtype, fused_ok=nc.enable_tcnn_mlp,
+            name="field")
         prop_nets = []
         if nc.use_same_proposal_network:
             # One shared proposal net for every iteration (nerfacto.py:194-205).
@@ -250,7 +259,10 @@ class NerfactoModel(nn.Module):
                                  "one proposal_net_args_list entry")
             shared = HashMLPDensityField(
                 dict(nc.proposal_net_args_list[0]), bound, contraction,
-                compute_dtype, name="proposal_0")
+                compute_dtype,
+                fused_ok=dict(nc.proposal_net_args_list[0]).get(
+                    "enable_tcnn_mlp", False),
+                name="proposal_0")
             prop_nets = [shared] * nc.num_proposal_iterations
         else:
             for i in range(nc.num_proposal_iterations):
@@ -258,6 +270,7 @@ class NerfactoModel(nn.Module):
                     min(i, len(nc.proposal_net_args_list) - 1)]
                 prop_nets.append(HashMLPDensityField(
                     dict(args), bound, contraction, compute_dtype,
+                    fused_ok=dict(args).get("enable_tcnn_mlp", False),
                     name=f"proposal_{i}"))
 
         appearance_embed = None

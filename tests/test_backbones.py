@@ -97,6 +97,7 @@ def test_vanilla_nerf_trains(mesh):
         f"{np.mean(psnrs[-10:]):.2f}")
 
 
+@pytest.mark.slow
 def test_nerfacto_nerfw_smoke(mesh):
     config = nerfacto_config(transient_type="nerfw")
     config.nerfacto.use_transient_embedding = True
@@ -105,6 +106,7 @@ def test_nerfacto_nerfw_smoke(mesh):
     assert np.isfinite(psnrs).all()
 
 
+@pytest.mark.slow
 def test_nerfacto_hanerf_smoke(mesh):
     config = nerfacto_config(transient_type="hanerf")
     config.nerfacto.use_transient_embedding = True
@@ -127,6 +129,7 @@ def test_vanilla_nerf_hanerf_smoke(mesh):
     assert np.isfinite(psnrs).all()
 
 
+@pytest.mark.slow
 def test_nerfacto_robustnerf_smoke(mesh):
     config = nerfacto_config(transient_type="robustnerf", patch_size=8,
                              robustnerf_inner_patch_size=4)
@@ -134,6 +137,7 @@ def test_nerfacto_robustnerf_smoke(mesh):
     assert np.isfinite(psnrs).all()
 
 
+@pytest.mark.slow
 def test_nerfacto_withmask_smoke(mesh):
     config = nerfacto_config(transient_type="withmask",
                              withmask_transient_weight=0.1)

@@ -16,6 +16,7 @@ pytestmark = pytest.mark.skipif(
     reason="reference checkout unavailable")
 
 
+@pytest.mark.slow
 def test_convert_reference_checkpoint(tmp_path):
     from flax.training import checkpoints as flax_checkpoints
     from tests.test_reference_model_parity import build_pair, make_rays

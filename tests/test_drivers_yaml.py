@@ -13,6 +13,7 @@ sys.path.insert(0, "/root/repo")
 from tests.test_data import make_fake_kubric_scene
 
 
+@pytest.mark.slow
 def test_yaml_cli_train_eval(tmp_path):
     import train as train_driver
     import eval as eval_driver

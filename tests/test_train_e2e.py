@@ -155,6 +155,7 @@ def test_finetune_only_updates_embeddings(mesh):
     assert frozen_ok, "non-embedding params changed during finetune"
 
 
+@pytest.mark.slow
 def test_withmask_suppresses_distractors(mesh):
     """The framework's core claim, functionally: training images poisoned
     with view-inconsistent squares; HuGS static masks must recover clean
@@ -205,3 +206,61 @@ def test_robustnerf_threshold_feedback_compiles_once(mesh):
         thresholds = stats["robust_inlier_threshold"]
     assert train_step._cache_size() == 1, (
         "threshold feedback retraced the train step")
+
+
+@pytest.mark.slow
+def test_nerfw_beta_localizes_distractors(mesh):
+    """Quantitative NeRF-W validation: after training on poisoned images,
+    the per-ray uncertainty (beta) on a TRAIN view must be higher inside
+    the known distractor square than outside — the transient branch
+    absorbing the view-inconsistent content (train_utils.py:150-183
+    semantics; ground truth square comes from the synthetic masks)."""
+    config = tiny_config(dataset_loader="synthetic_distractor",
+                         transient_type="nerfw", max_steps=400,
+                         lr_init=3e-3, lr_final=3e-4)
+    config.model.num_transient_features = 8
+    model, state, render_fn, _, _, _ = (*run_training(config, mesh, 400),)
+    train_ds = load_dataset("train", "", config)
+    ratios = []
+    for idx in range(2):
+        batch = train_ds.generate_ray_batch(idx)
+        rendering = render_image(render_fn, batch.rays, 1.0, state.params,
+                                 config, mesh)
+        beta = np.asarray(rendering["uncertainty"])[..., 0]
+        inside = np.asarray(batch.rays.static_mask)[..., 0] < 0.5
+        ratios.append(float(beta[inside].mean() / beta[~inside].mean()))
+    assert np.mean(ratios) > 1.15, (
+        f"nerfw beta does not localize distractors: ratios={ratios}")
+
+
+@pytest.mark.slow
+def test_hanerf_mask_localizes_distractors(mesh):
+    """Quantitative HA-NeRF validation: the 2-D implicit mask on a TRAIN
+    view must score higher inside the distractor square than outside
+    (train_utils.py:186-225 semantics)."""
+    config = tiny_config(dataset_loader="synthetic_distractor",
+                         transient_type="hanerf", max_steps=400,
+                         lr_init=3e-3, lr_final=3e-4)
+    config.model.num_transient_features = 8
+    # The reference's penalty schedule (tuned for 250k-step real scenes)
+    # lets the mask saturate at 1 in this 400-step toy regime — the
+    # degenerate everything-is-transient solution. Scale the mask-size
+    # mult up so the equilibrium mask L/(2*mult) stays in (0, 1); the
+    # MECHANISM under test (mask concentrating on inconsistent pixels) is
+    # schedule-independent.
+    config.hanerf_mask_size_loss_mult_max = 0.5
+    config.hanerf_mask_size_loss_mult_min = 0.05
+    model, state, render_fn, _, _, _ = (*run_training(config, mesh, 400),)
+    train_ds = load_dataset("train", "", config)
+    ratios = []
+    for idx in range(2):
+        batch = train_ds.generate_ray_batch(idx)
+        rendering = render_image(render_fn, batch.rays, 1.0, state.params,
+                                 config, mesh)
+        mask = np.asarray(rendering["implicit_mask"])[..., 0]
+        inside = np.asarray(batch.rays.static_mask)[..., 0] < 0.5
+        ratios.append(float(mask[inside].mean() /
+                            max(mask[~inside].mean(), 1e-6)))
+    assert np.mean(ratios) > 2.0, (
+        f"hanerf implicit mask does not localize distractors: "
+        f"ratios={ratios}")
