@@ -32,11 +32,22 @@ def maybe_initialize_distributed() -> None:
     want = (os.environ.get("NERF_HUGS_MULTIHOST") == "1"
             or "JAX_COORDINATOR_ADDRESS" in os.environ
             or "COORDINATOR_ADDRESS" in os.environ)
-    if want:
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # already initialized or no coordinator
-            print(f"jax.distributed.initialize skipped: {e}")
+    if not want:
+        return
+    # Explicit env-var topology (generic launchers); jax's no-arg
+    # auto-detect only covers known clusters (TPU pods, SLURM, ...).
+    kwargs = {}
+    coord = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+             or os.environ.get("COORDINATOR_ADDRESS"))
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if coord and nproc is not None and pid is not None:
+        kwargs = dict(coordinator_address=coord,
+                      num_processes=int(nproc), process_id=int(pid))
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # already initialized or no coordinator
+        print(f"jax.distributed.initialize skipped: {e}")
 
 
 def make_mesh(devices: Optional[Sequence[Any]] = None,
@@ -55,8 +66,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Device_put a host batch with its leading axis split over the mesh."""
+    """Device_put a host batch with its leading axis split over the mesh.
+
+    Multi-host: datasets emit PER-HOST batches (batch_size/process_count,
+    data/base.py), so each host's array is its process-local shard of the
+    global batch — assembled with make_array_from_process_local_data
+    (plain device_put would mistake it for the global value)."""
     sharding = data_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
