@@ -193,16 +193,30 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
         n = poses.shape[0]
         self.render_poses = poses
         self.camtoworlds = np.asarray(poses, np.float32)
-        rep = lambda x: [x[0]] * n  # shared views, not copies
-        self.pixtocams = np.repeat(self.pixtocams[:1], n, axis=0)
+        height = int(self.heights[0])
+        width = int(self.widths[0])
+        pixtocam = self.pixtocams[0]
+        near0, far0 = self.nears[0], self.fars[0]
+        if config.render_resolution is not None:
+            # Override the output resolution, rescaling camera 0's
+            # intrinsics (pixtocam maps pixels -> camera plane, so a finer
+            # grid multiplies by old/new) — the reference sketches this at
+            # datasets.py:339-340 inside its NotImplementedError block.
+            new_w, new_h = config.render_resolution
+            pixtocam = pixtocam @ np.diag(
+                [width / new_w, height / new_h, 1.0]).astype(pixtocam.dtype)
+            height, width = int(new_h), int(new_w)
+            near0 = np.full((height, width, 1), float(near0.min()), np.float32)
+            far0 = np.full((height, width, 1), float(far0.max()), np.float32)
+        self.pixtocams = np.repeat(pixtocam[None], n, axis=0)
         self.focals = np.repeat(self.focals[:1], n, axis=0)
-        self.heights = np.repeat(self.heights[:1], n, axis=0)
-        self.widths = np.repeat(self.widths[:1], n, axis=0)
-        self.distortion_params = rep(self.distortion_params)
-        self.camtypes = rep(self.camtypes)
-        self.nears = rep(self.nears)
-        self.fars = rep(self.fars)
-        self.static_masks = rep(self.static_masks)
+        self.heights = np.full(n, height, self.heights.dtype)
+        self.widths = np.full(n, width, self.widths.dtype)
+        self.distortion_params = [self.distortion_params[0]] * n
+        self.camtypes = [self.camtypes[0]] * n
+        self.nears = [near0] * n
+        self.fars = [far0] * n
+        self.static_masks = [np.ones((height, width, 1), np.float32)] * n
         self.embed_idxs = np.zeros(n, self.embed_idxs.dtype)
         self.images = None
         self.image_names = [f"{i:03d}" for i in range(n)]

@@ -10,12 +10,19 @@ interpolation of the 8 corner features; features concatenated over levels.
 
 Design driven by the measured v5e cost model (docs/tpu_gather_cost_model.md):
 
-* FORWARD: XLA gather cost is per-index (DMA descriptors), ~160M idx/s for
-  8-byte rows vs ~120M for 4-byte singles. So the table is stored as
-  [L*T, F] rows and each (corner, level, sample) is ONE row gather that
-  fetches both features — half the index count of the round-1 flat layout
-  at a higher rate. All levels ride one fused gather per corner (one big
-  gather beats 16 per-level gathers, measured).
+* PARAMETERS are a tuple of per-level FLAT [T*F] tables. Separate
+  per-level operands gather ~1.7x faster than slices of one big array
+  (and any operand >= 2^24 rows halves the gather rate), and 1-D params
+  keep XLA's layout assignment from re-tiling a [*, 2] array row-major —
+  a 64x padding that OOMs the optimizer/stats graph at base shapes.
+
+* FORWARD: XLA gather cost is per-index (DMA descriptors), ~215M idx/s
+  for 8-byte rows from per-level tables vs ~120M for 4-byte singles. Per
+  (level, corner): ONE row gather on the [T, F] view (a free bitcast of
+  the flat param) fetching both features — half the index count of the
+  round-1 per-feature gathers at a higher rate. Accumulation stays
+  rank-2 elementwise: a corner-fused gather + rank-3 reshape + reduce
+  makes XLA pick the padded row-major layout for the gather output.
 
 * BACKWARD (`use_custom_vjp`): XLA's scatter-add transpose costs ~93M
   idx/s for 4B singles (8B rows: 13M/s) -> 10.8s/step at
@@ -24,7 +31,8 @@ Design driven by the measured v5e cost model (docs/tpu_gather_cost_model.md):
   keys for each 256-row table block's entry range, and run a Pallas kernel
   gridded over table blocks that DMAs its (sorted, contiguous) entries and
   segment-sums them with an on-the-fly one-hot x values matmul on the MXU.
-  Random scatter becomes streaming reads + dense writes.
+  Random scatter becomes streaming reads + dense writes. ~5x measured
+  (ops/hashgrid_bwd.py).
 
 * Gradients w.r.t. POSITIONS are not produced by the custom VJP (returned
   as zeros): every consumer in this codebase feeds stop-gradient sample
@@ -32,11 +40,8 @@ Design driven by the measured v5e cost model (docs/tpu_gather_cost_model.md):
   pixel coordinates, or ray data. Set `use_custom_vjp=False` to get full
   autodiff through the plain XLA path.
 
-TPU layout notes: HBM arrays tile (8, 128) on the last two dims; rank-3
-intermediates with two small trailing dims (e.g. [n, L, F]) pad up to 64x
-and OOM, so per-level/corner accumulators stay [L, n] and the output is
-assembled column-wise. A [K, 2] rank-2 array with a huge leading dim is
-packed densely (verified by allocation probes in tools/bench_gather.py).
+Measured end to end at kubric_nerfacto_base shapes on one v5e: the full
+train step went from ~25 s (round-1 XLA formulation) to 7.05 s.
 """
 
 from __future__ import annotations

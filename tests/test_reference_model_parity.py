@@ -44,8 +44,12 @@ def ref_models():
     sys.modules.setdefault("dm_pix", dm_pix)
     if REF_PATH not in sys.path:
         sys.path.insert(0, REF_PATH)
-    from internal import models as _ref_models
-    from internal import utils as _ref_utils
+    try:
+        from internal import models as _ref_models
+        from internal import utils as _ref_utils
+    finally:
+        # Don't shadow OUR top-level train.py/eval.py for later tests.
+        sys.path.remove(REF_PATH)
     return _ref_models, _ref_utils
 
 

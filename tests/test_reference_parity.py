@@ -22,11 +22,16 @@ pytestmark = pytest.mark.skipif(
 
 if os.path.isdir(os.path.join(REF_PATH, "internal")):
     sys.path.insert(0, REF_PATH)
-    from internal import coord as ref_coord
-    from internal import math as ref_math
-    from internal import render as ref_render
-    from internal import stepfun as ref_stepfun
-    from internal import geopoly as ref_geopoly
+    try:
+        from internal import coord as ref_coord
+        from internal import math as ref_math
+        from internal import render as ref_render
+        from internal import stepfun as ref_stepfun
+        from internal import geopoly as ref_geopoly
+    finally:
+        # Leaving REF_PATH on sys.path shadows OUR top-level train.py /
+        # eval.py in later test modules (imported modules stay cached).
+        sys.path.remove(REF_PATH)
 
 from nerf_hugs_tpu.core import coord, geopoly, render, stepfun
 from nerf_hugs_tpu.core import math as nh_math

@@ -117,3 +117,18 @@ def test_render_cli_spline_path(tmp_path):
     frames = sorted(glob.glob(
         str(ckpt / "render" / "path_renders_step_2" / "color_*.png")))
     assert len(frames) == 4, frames
+
+
+def test_render_resolution_override():
+    config = path_config(render_resolution=(16, 12))  # (width, height)
+    dataset = load_dataset("test", "", config, is_training=False)
+    batch = dataset.generate_ray_batch(0)
+    assert batch.rays.origins.shape[:2] == (12, 16)
+    assert np.all(np.isfinite(batch.rays.directions))
+    # A finer grid keeps the field of view: corner ray directions should
+    # roughly match the native-resolution corners.
+    native = load_dataset(
+        "test", "", path_config(), is_training=False).generate_ray_batch(0)
+    a = batch.rays.viewdirs[0, 0]
+    b = native.rays.viewdirs[0, 0]
+    assert float(np.dot(a, b)) > 0.99

@@ -29,7 +29,11 @@ def torch_mlp_cls():
     sys.modules.setdefault("tinycudann", tcnn)
     if REF_NERFACTO not in sys.path:
         sys.path.insert(0, REF_NERFACTO)
-    from models.nerf import MLP as TorchMLP
+    try:
+        from models.nerf import MLP as TorchMLP
+    finally:
+        # Don't shadow OUR top-level train.py/eval.py later.
+        sys.path.remove(REF_NERFACTO)
     return TorchMLP
 
 

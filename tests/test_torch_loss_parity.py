@@ -24,8 +24,12 @@ def torch_utils():
     sys.modules.setdefault("tinycudann", tcnn)
     if REF_NERFACTO not in sys.path:
         sys.path.insert(0, REF_NERFACTO)
-    from utils import loss_utils as t_loss
-    from utils import ray_utils as t_ray
+    try:
+        from utils import loss_utils as t_loss
+        from utils import ray_utils as t_ray
+    finally:
+        # Don't shadow OUR top-level train.py/eval.py later.
+        sys.path.remove(REF_NERFACTO)
     return t_loss, t_ray
 
 
