@@ -86,9 +86,11 @@ def main():
     import traceback
 
     from tools.bench_nerfacto import bench_config
+    # steps must span a full proposal_update_every period (5): the train
+    # step's cost alternates with the proposal-grad cond (models/nerfacto.py).
     for key, path, steps in (
-            ("nerfacto_base", "configs/nerfacto/kubric_nerfacto_base.yml", 4),
-            ("nerfacto_tpu", "configs/nerfacto/kubric_nerfacto_tpu.yml", 8)):
+            ("nerfacto_base", "configs/nerfacto/kubric_nerfacto_base.yml", 5),
+            ("nerfacto_tpu", "configs/nerfacto/kubric_nerfacto_tpu.yml", 10)):
         try:
             extra[key] = bench_config(path, steps=steps, warmup=1)
         except Exception:

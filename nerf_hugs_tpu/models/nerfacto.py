@@ -344,12 +344,20 @@ class NerfactoModel(nn.Module):
                          rays.directions[..., None, :] * t_mids[..., None])
 
             if is_prop:
-                density = prop_nets[i_level](positions)
                 # Gradient gating: full grads only on update steps; else the
                 # proposal weights are treated as constants (the torch
-                # set_grad_enabled switch, expressed branchlessly).
-                density = jnp.where(update_prop, density,
-                                    jax.lax.stop_gradient(density))
+                # set_grad_enabled switch, nerfacto.py:292-303). A real
+                # lax.cond — NOT a branchless where(update, d, stop_grad(d)):
+                # the transpose of cond runs only the taken branch, so the
+                # proposal backward (per-level sort + Pallas segment-sum,
+                # ~0.9 s/step at kubric_nerfacto_base shapes) is skipped
+                # entirely on the (proposal_update_every-1)/every fraction
+                # of steps where the reference skips it too.
+                density = nn.cond(
+                    update_prop,
+                    lambda mdl, pos: mdl(pos),
+                    lambda mdl, pos: jax.lax.stop_gradient(mdl(pos)),
+                    prop_nets[i_level], positions)
                 field_outputs = {"density": density}
             else:
                 emb_a = None

@@ -247,10 +247,9 @@ def construct_model(rng, rays: structs.Rays, config):
     ray = jax.tree_util.tree_map(
         lambda x: jnp.reshape(x, [-1, x.shape[-1]])[:10], rays)
     # enable_amp -> bfloat16 MLP compute (the reference trains this stack
-    # under torch AMP fp16, nerfacto/train.py:199-207).
-    model = VanillaNerfModel(
-        config=config,
-        compute_dtype=jnp.bfloat16 if config.enable_amp else jnp.float32)
+    # under torch AMP fp16, nerfacto/train.py:199-207); the model derives
+    # its compute dtype from config.enable_amp internally.
+    model = VanillaNerfModel(config=config)
     init_variables = jax.jit(model.init, static_argnames=(
         "train_frac", "compute_extras", "zero_glo", "zero_tra"))(
         rng, rng=None, rays=ray, train_frac=1.0, compute_extras=False,

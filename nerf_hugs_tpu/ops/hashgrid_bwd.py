@@ -44,13 +44,16 @@ CHUNK = 2048    # sorted entries DMA'd per inner iteration (128-multiple)
 
 
 def _kernel(starts_ref, keys_ref, *vrefs_out_scratch, block_r, chunk, f,
-            val_dtype):
-    vals_refs = vrefs_out_scratch[:f]
-    out_ref = vrefs_out_scratch[f]
-    kbuf = vrefs_out_scratch[f + 1]
-    vbufs = vrefs_out_scratch[f + 2:f + 2 + f]
-    sems = vrefs_out_scratch[f + 2 + f]
-    acc_ref = vrefs_out_scratch[f + 2 + f + 1]
+            val_dtype, packed=False):
+    # `packed`: the f=2 bf16 value pair rides ONE int32 stream (f0 low bits,
+    # f1 high) — half the sort payload and half the value DMA traffic.
+    nv = 1 if packed else f
+    vals_refs = vrefs_out_scratch[:nv]
+    out_ref = vrefs_out_scratch[nv]
+    kbuf = vrefs_out_scratch[nv + 1]
+    vbufs = vrefs_out_scratch[nv + 2:nv + 2 + nv]
+    sems = vrefs_out_scratch[nv + 2 + nv]
+    acc_ref = vrefs_out_scratch[nv + 2 + nv + 1]
     j = pl.program_id(0)
     s = starts_ref[j]
     e = starts_ref[j + 1]
@@ -62,7 +65,7 @@ def _kernel(starts_ref, keys_ref, *vrefs_out_scratch, block_r, chunk, f,
         st = pl.multiple_of(start0 + c * chunk, 128)
         cps = [pltpu.make_async_copy(
             keys_ref.at[:, pl.ds(st, chunk)], kbuf.at[slot], sems.at[slot, 0])]
-        for i in range(f):
+        for i in range(nv):
             cps.append(pltpu.make_async_copy(
                 vals_refs[i].at[:, pl.ds(st, chunk)], vbufs[i].at[slot],
                 sems.at[slot, 1 + i]))
@@ -89,10 +92,19 @@ def _kernel(starts_ref, keys_ref, *vrefs_out_scratch, block_r, chunk, f,
         valid = (epos >= s) & (epos < e)
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (block_r, chunk), 0)
         oh = ((iota_r == rel) & valid).astype(val_dtype)  # [block_r, chunk]
-        # Streams stay f32 in HBM ([1, N] bf16 would (2,128)-tile and break
-        # DMA slicing); cast to the matmul dtype here.
-        v = jnp.concatenate([vb[slot] for vb in vbufs],
-                            axis=0).astype(val_dtype)     # [f, chunk]
+        if packed:
+            # Unpack the bf16 pair from the int32 lane: f32 bits are the
+            # bf16 bits << 16 (exact), so two shifts + bitcasts suffice.
+            p = vbufs[0][slot]                            # [1, chunk] i32
+            v0 = pltpu.bitcast(jax.lax.shift_left(p, 16), jnp.float32)
+            v1 = pltpu.bitcast(
+                jax.lax.bitwise_and(p, jnp.int32(-65536)), jnp.float32)
+            v = jnp.concatenate([v0, v1], axis=0).astype(val_dtype)
+        else:
+            # Streams stay f32 in HBM ([1, N] bf16 would (2,128)-tile and
+            # break DMA slicing); cast to the matmul dtype here.
+            v = jnp.concatenate([vb[slot] for vb in vbufs],
+                                axis=0).astype(val_dtype)  # [f, chunk]
         # Contract the entry dim of both operands: [block_r, f]. The MXU's
         # default f32 "dot" is a single bf16 pass — force HIGHEST when the
         # caller asked for strict f32 grads.
@@ -150,7 +162,26 @@ def block_segment_sum(keys: jnp.ndarray, vals, table_size: int,
     assert table_size % block_r == 0, (table_size, block_r)
     nb = table_size // block_r
 
-    ops = jax.lax.sort([keys] + list(vals), num_keys=1)
+    # bf16 grads (the AMP-parity default) pack the f=2 value pair into ONE
+    # int32 sort payload: measured 273M vs 215M elem/s for (key, 2xf32) at
+    # 33.5M entries, and half the value-stream DMA in the kernel. The pack
+    # (cast+shift+or) fuses into the payload-prep elementwise graph. fp32
+    # grads keep per-feature f32 payloads (strict-parity mode).
+    packed = (jnp.dtype(val_dtype) == jnp.bfloat16 and f == 2)
+    if packed:
+        lohi = []
+        for j in range(2):
+            b16 = jax.lax.bitcast_convert_type(
+                vals[j].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+            lohi.append(b16)
+        payload = [jax.lax.bitcast_convert_type(
+            jnp.bitwise_or(jax.lax.shift_left(lohi[1], jnp.uint32(16)),
+                           lohi[0]), jnp.int32)]
+    else:
+        payload = list(vals)
+    nv = len(payload)
+
+    ops = jax.lax.sort([keys] + payload, num_keys=1)
     keys_sorted = ops[0]
 
     bounds = jnp.arange(nb + 1, dtype=jnp.int32) * block_r
@@ -161,23 +192,23 @@ def block_segment_sum(keys: jnp.ndarray, vals, table_size: int,
     keys_p = jnp.full((1, k_pad), table_size, jnp.int32)
     keys_p = jax.lax.dynamic_update_slice(keys_p, keys_sorted[None, :], (0, 0))
     vals_p = []
-    for j in range(f):
-        col = jnp.zeros((1, k_pad), jnp.float32)
+    for j in range(nv):
+        col = jnp.zeros((1, k_pad), payload[j].dtype)
         vals_p.append(jax.lax.dynamic_update_slice(
             col, ops[1 + j][None, :], (0, 0)))
 
     kernel = functools.partial(_kernel, block_r=block_r, chunk=CHUNK, f=f,
-                               val_dtype=jnp.dtype(val_dtype))
+                               val_dtype=jnp.dtype(val_dtype), packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + f),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + nv),
         out_specs=pl.BlockSpec((f, block_r), lambda j, starts: (0, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 1, CHUNK), jnp.int32),
-        ] + [pltpu.VMEM((2, 1, CHUNK), jnp.float32) for _ in range(f)
-             ] + [pltpu.SemaphoreType.DMA((2, 1 + f)),
+        ] + [pltpu.VMEM((2, 1, CHUNK), p.dtype) for p in payload
+             ] + [pltpu.SemaphoreType.DMA((2, 1 + nv)),
                   pltpu.VMEM((block_r, f), jnp.float32)],
     )
     out = pl.pallas_call(

@@ -60,16 +60,23 @@ def bench_config(path, steps=8, warmup=2):
     # Only consumed by robustnerf configs; shape must just stay fixed.
     thresholds = mesh_lib.replicate(
         jnp.ones(config.num_ray_levels), mesh)
-    train_frac = jnp.asarray(0.5)
+    # Advance train_frac one schedule step per measured step, starting at
+    # mid-training: nerfacto skips the proposal-net backward on steps where
+    # step % proposal_update_every != 0 (reference nerfacto.py:292-303), so
+    # a frozen train_frac would measure only one branch of that cond.
+    base_step = config.max_steps // 2
+
+    def frac(i):
+        return jnp.asarray((base_step + i) / config.max_steps)
 
     rng = mesh_lib.replicate(jax.random.PRNGKey(1), mesh)
-    for _ in range(warmup):
-        state, stats, rng = train_step(rng, state, batch, train_frac,
+    for i in range(warmup):
+        state, stats, rng = train_step(rng, state, batch, frac(i),
                                        thresholds)
     float(stats["loss"])  # device_get barrier (tunnel-safe)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, stats, rng = train_step(rng, state, batch, train_frac,
+    for i in range(steps):
+        state, stats, rng = train_step(rng, state, batch, frac(warmup + i),
                                        thresholds)
     float(stats["loss"])
     dt = (time.perf_counter() - t0) / steps
