@@ -96,6 +96,35 @@ def main():
         except Exception:
             extra[key] = {"error": traceback.format_exc(limit=1)}
 
+    # bf16 flagship (the *_tpu_bf16.gin overlay class): records the bf16
+    # headroom each round while the primary metric stays fp32 (the
+    # reference's MipNeRF360 stack trains fp32 JAX — same-precision compare).
+    try:
+        config_bf16 = _flagship_config(tiny=False)
+        config_bf16.batch_size = BATCH_SIZE
+        config_bf16.model.compute_dtype = "bfloat16"
+        _, state_b, _, step_b, _ = train_step_lib.setup_model(
+            config_bf16, jax.random.PRNGKey(0), mesh)
+        state_b = mesh_lib.replicate(state_b, mesh)
+        rng_b = mesh_lib.replicate(jax.random.PRNGKey(1), mesh)
+        for _ in range(WARMUP_STEPS):
+            state_b, stats_b, rng_b = step_b(rng_b, state_b, batch,
+                                             train_frac, thresholds)
+        float(stats_b["loss"])
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            state_b, stats_b, rng_b = step_b(rng_b, state_b, batch,
+                                             train_frac, thresholds)
+        float(stats_b["loss"])
+        dt = (time.perf_counter() - t0) / MEASURE_STEPS
+        extra["flagship_bf16"] = {
+            "sec_per_step": round(dt, 3),
+            "rays_per_sec": round(BATCH_SIZE / dt, 1),
+            "loss": float(stats_b["loss"]),
+        }
+    except Exception:
+        extra["flagship_bf16"] = {"error": traceback.format_exc(limit=1)}
+
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec_per_chip, 1),

@@ -143,3 +143,44 @@ def test_nerfacto_withmask_smoke(mesh):
                              withmask_transient_weight=0.1)
     psnrs = run_steps(config, mesh, 3)
     assert np.isfinite(psnrs).all()
+
+
+def test_nerfacto_proposal_grads_gated_by_update_schedule(mesh):
+    """The proposal-net backward runs only on update steps (the reference's
+    set_grad_enabled gating, nerfacto.py:292-303): after one train step at a
+    non-update step, the proposal hash tables must be bit-identical (zero
+    grads through the lax.cond); at an update step they must move. The final
+    field trains on every step."""
+    config = nerfacto_config(max_steps=25000)
+    dataset = load_dataset("train", "", config)
+    batch = mesh_lib.shard_batch(next(iter(dataset)), mesh)
+    thresholds = jnp.ones(8)
+
+    def tables(state, prefix):
+        params = jax.device_get(state.params["params"])
+        sub = params[prefix]["hashgrid"]
+        return {k: np.asarray(v) for k, v in sub.items()}
+
+    def one_step(step_idx):
+        _, state, _, train_step, _ = train_step_lib.setup_model(
+            config, jax.random.PRNGKey(0), mesh)
+        state = mesh_lib.replicate(state, mesh)
+        before_prop = tables(state, "proposal_0")
+        before_field = tables(state, "field")
+        state, _, _ = train_step(
+            jax.random.PRNGKey(1), state, batch,
+            jnp.asarray(step_idx / config.max_steps), thresholds)
+        return (before_prop, tables(state, "proposal_0"),
+                before_field, tables(state, "field"))
+
+    # step 12500: interval = proposal_update_every = 5, 12500 % 5 == 0.
+    bp, ap, bf, af = one_step(12500)
+    assert any(not np.array_equal(bp[k], ap[k]) for k in bp), (
+        "proposal tables did not move on an update step")
+    assert any(not np.array_equal(bf[k], af[k]) for k in bf)
+
+    # step 12501: 12501 % 5 != 0 -> proposal grads skipped entirely.
+    bp, ap, bf, af = one_step(12501)
+    assert all(np.array_equal(bp[k], ap[k]) for k in bp), (
+        "proposal tables moved on a non-update step")
+    assert any(not np.array_equal(bf[k], af[k]) for k in bf)
