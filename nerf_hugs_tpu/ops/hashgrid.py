@@ -41,7 +41,7 @@ Design driven by the measured v5e cost model (docs/tpu_gather_cost_model.md):
   autodiff through the plain XLA path.
 
 Measured end to end at kubric_nerfacto_base shapes on one v5e: the full
-train step went from ~25 s (round-1 XLA formulation) to 3.61 s (with the
+train step went from ~25 s (round-1 XLA formulation) to 3.87 s (with the
 proposal-grad cond in models/nerfacto.py; docs/tpu_gather_cost_model.md).
 """
 

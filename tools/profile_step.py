@@ -9,6 +9,10 @@ runs (reference trains under torch; we read XLA op events instead).
   python tools/profile_step.py flagship              # Mip-NeRF 360 bench shape
   python tools/profile_step.py configs/nerfacto/kubric_nerfacto_tpu.yml
   python tools/profile_step.py <target> --trace-dir /tmp/prof --top 30
+  python tools/profile_step.py <yaml> --step-offset 5   # freeze train_frac at
+      # max_steps//2 + offset: offset 5 profiles proposal-UPDATE steps
+      # (step %% 5 == 0), offset 1 profiles skip steps; default advances
+      # per step (a mix)
 """
 
 import collections
@@ -85,6 +89,8 @@ def main():
         trace_dir = sys.argv[sys.argv.index("--trace-dir") + 1]
     top = int(sys.argv[sys.argv.index("--top") + 1]) if "--top" in sys.argv \
         else 25
+    step_offset = (int(sys.argv[sys.argv.index("--step-offset") + 1])
+                   if "--step-offset" in sys.argv else None)
 
     from nerf_hugs_tpu.parallel import mesh as mesh_lib
     from nerf_hugs_tpu.train import step as train_step_lib
@@ -111,7 +117,11 @@ def main():
     rng = mesh_lib.replicate(jax.random.PRNGKey(1), mesh)
 
     def frac(i):  # advance so proposal-update cond steps are representative
-        return jnp.asarray((config.max_steps // 2 + i) / config.max_steps)
+        if step_offset is not None:  # frozen: pin every step to one branch
+            return jnp.asarray(
+                (config.max_steps // 2 + step_offset) / config.max_steps)
+        return jnp.asarray(
+            (config.max_steps // 2 + i) / config.max_steps)
 
     for i in range(2):
         state, stats, rng = train_step(rng, state, batch, frac(i), thresholds)
