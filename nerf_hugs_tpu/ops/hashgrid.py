@@ -41,7 +41,7 @@ Design driven by the measured v5e cost model (docs/tpu_gather_cost_model.md):
   autodiff through the plain XLA path.
 
 Measured end to end at kubric_nerfacto_base shapes on one v5e: the full
-train step went from ~25 s (round-1 XLA formulation) to 3.87 s (with the
+train step went from ~25 s (round-1 XLA formulation) to 3.50 s (with the
 proposal-grad cond in models/nerfacto.py; docs/tpu_gather_cost_model.md).
 """
 
@@ -200,13 +200,16 @@ def _corner_rows_level(spec: HashGridSpec, positions: jnp.ndarray, lvl: int):
 
 
 def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
-                 spec: HashGridSpec) -> jnp.ndarray:
+                 spec: HashGridSpec, want_residuals: bool = False):
     """Plain XLA encode: positions [..., d] -> [..., L*F]. Differentiable.
 
     One corner-fused row gather per level: gathers from operands larger
     than ~2^23 rows fall off a descriptor cliff (157 -> 84M idx/s) while
     per-level [T, F] slices of a [L, T, F] table pipeline at ~215M idx/s
     (tools/bench_gather.py) — so levels are NOT fused into one gather.
+
+    want_residuals additionally returns the per-level (rows, weights) so the
+    custom VJP can skip recomputing the index arithmetic in the backward.
     """
     lead_shape = positions.shape[:-1]
     positions = positions.reshape(-1, spec.num_dims)
@@ -215,9 +218,11 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
     n = positions.shape[0]
     num_corners = 1 << spec.num_dims
 
-    outs = []
+    outs, rw = [], []
     for lvl in range(spec.num_levels):
         rows, weights = _corner_rows_level(spec, positions, lvl)  # [2^d, n]
+        if want_residuals:
+            rw.append((rows, weights))
         # One gather per corner, rank-2 elementwise accumulation only. A
         # fused [2^d*n, F] gather + rank-3 reshape + reduce looks cleaner but
         # makes XLA assign the gather output a (8,128)-tiled row-major
@@ -229,7 +234,10 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
             acc = acc + weights[c][:, None] * vals
         outs.append(acc)
     out = jnp.concatenate(outs, axis=-1)               # [n, L*F]
-    return out.reshape(lead_shape + (spec.output_dim,))
+    out = out.reshape(lead_shape + (spec.output_dim,))
+    if want_residuals:
+        return out, tuple(rw)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -237,25 +245,42 @@ def _encode_custom(table, positions, spec: HashGridSpec, interpret: bool):
     return _encode_impl(table, positions, spec)
 
 
+# Save per-level (rows, weights) as residuals up to this many bytes per
+# encode call: the backward then skips the whole index-arithmetic recompute
+# (floor/hash/trilinear products — measured 0.37 s/step avg at
+# kubric_nerfacto_base shapes) for ~10 ms of HBM traffic. Above the cap,
+# fall back to recomputing from positions so peak memory stays bounded
+# (phototourism_nerfacto_base's 512-sample proposal field would hold
+# 2.7 GB; with the cap its backward recomputes while the other fields
+# still save — worst-case extra residency ~3.5 GB on a 16 GB chip).
+_RESIDUAL_BYTES_CAP = int(2.5 * (1 << 30))
+
+
 def _encode_custom_fwd(table, positions, spec, interpret):
-    # The table is used linearly, so only positions (to recompute indices
-    # and trilinear weights — cheaper than saving 8x[L,n] residuals) and the
-    # table dtype are needed for the backward.
-    out = _encode_impl(table, positions, spec)
-    return out, (positions, jnp.zeros((0,), table[0].dtype))
+    # The table is used linearly: only the (rows, weights) — or positions to
+    # recompute them past the size cap — and the table dtype are needed.
+    n = int(np.prod(positions.shape[:-1]))
+    nbytes = spec.num_levels * n * (1 << spec.num_dims) * 8  # i32 + f32
+    if nbytes <= _RESIDUAL_BYTES_CAP:
+        out, rw = _encode_impl(table, positions, spec, want_residuals=True)
+    else:
+        out = _encode_impl(table, positions, spec)
+        rw = None
+    return out, (positions, jnp.zeros((0,), table[0].dtype), rw)
 
 
 def _encode_custom_bwd(spec, interpret, residuals, g):
-    positions, dtype_probe = residuals
+    positions, dtype_probe, rw = residuals
     pos = positions.reshape(-1, spec.num_dims)
     f = spec.features_per_level
     gf = g.reshape(-1, spec.num_levels * f)            # [n, L*F]
 
     grads = []
     for lvl in range(spec.num_levels):
-        # Recompute this level's corner rows/weights (cheaper than holding
-        # [2^d, L, n] residuals across all levels' kernels).
-        rows, weights = _corner_rows_level(spec, pos, lvl)       # [2^d, n]
+        if rw is not None:
+            rows, weights = rw[lvl]                              # [2^d, n]
+        else:
+            rows, weights = _corner_rows_level(spec, pos, lvl)
         keys = rows.reshape(-1)                                  # [2^d*n]
         # Per-feature 1-D payload columns (a [2^d*n, F] array would invite
         # the 64x tiled-layout padding — see _encode_impl).

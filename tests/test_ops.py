@@ -218,3 +218,24 @@ def test_hashgrid_flat_table_roundtrip():
         _encode_custom(_as_level_tuple(t, spec), pos, spec, True)))(
         table.reshape(-1))
     assert g.shape == (spec.num_levels * spec.table_size * 2,)
+
+
+def test_hashgrid_custom_vjp_recompute_path_matches_saved(monkeypatch):
+    # Above _RESIDUAL_BYTES_CAP the backward recomputes rows/weights from
+    # positions instead of using saved residuals; both paths must produce
+    # identical gradients.
+    from nerf_hugs_tpu.ops import hashgrid as hg
+    spec = HashGridSpec(num_levels=3, features_per_level=2,
+                        log2_hashmap_size=10, base_res=4, max_res=16,
+                        bwd_dtype="float32")
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (spec.num_levels, spec.table_size, 2))
+    tup = hg._as_level_tuple(table, spec)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (97, 3))
+    cot = jax.random.normal(jax.random.PRNGKey(2), (97, spec.output_dim))
+    loss = lambda t: jnp.sum(hg._encode_custom(t, pos, spec, True) * cot)
+    g_saved = jax.grad(loss)(tup)
+    monkeypatch.setattr(hg, "_RESIDUAL_BYTES_CAP", 0)
+    g_recompute = jax.grad(loss)(tup)
+    for a, b in zip(g_saved, g_recompute):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
