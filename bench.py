@@ -90,7 +90,8 @@ def main():
     # step's cost alternates with the proposal-grad cond (models/nerfacto.py).
     for key, path, steps in (
             ("nerfacto_base", "configs/nerfacto/kubric_nerfacto_base.yml", 5),
-            ("nerfacto_tpu", "configs/nerfacto/kubric_nerfacto_tpu.yml", 10)):
+            ("nerfacto_tpu", "configs/nerfacto/kubric_nerfacto_tpu.yml", 10),
+            ("vanilla_base", "configs/nerfacto/kubric_nerf_base.yml", 20)):
         try:
             extra[key] = bench_config(path, steps=steps, warmup=1)
         except Exception:
