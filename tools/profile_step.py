@@ -41,7 +41,10 @@ def summarize(trace_dir: str, top: int = 25):
         data = json.load(f)
     tot = collections.Counter()
     cnt = collections.Counter()
+    by_src = collections.Counter()
+    by_cat = collections.Counter()
     grand = 0.0
+    flops = 0
     for e in data["traceEvents"]:
         if e.get("ph") != "X" or "dur" not in e:
             continue
@@ -52,9 +55,25 @@ def summarize(trace_dir: str, top: int = 25):
         tot[m.group(1)] += e["dur"]
         cnt[m.group(1)] += 1
         grand += e["dur"]
-    print(f"device op total: {grand / 1e3 / STEPS:.1f} ms/step")
+        # Device events carry HLO metadata: source line, category, flops —
+        # this is the attribution that located the flagship's 74%-of-peak
+        # matmul share and the nerfacto sort/gather walls.
+        a = e.get("args") or {}
+        if "hlo_category" in a:
+            by_cat[a["hlo_category"]] += e["dur"]
+            by_src[a.get("source", "?")] += e["dur"]
+            flops += int(a.get("model_flops", 0) or 0)
+    print(f"device op total: {grand / 1e3 / STEPS:.1f} ms/step, "
+          f"model_flops {flops / STEPS / 1e12:.2f} TF/step")
     for name, d in tot.most_common(top):
         print(f"{d / 1e3 / STEPS:9.2f} ms/step  x{cnt[name] // STEPS:<5d} {name}")
+    print("== by hlo_category ==")
+    for k, v in by_cat.most_common(10):
+        print(f"{v / 1e3 / STEPS:9.2f} ms/step  {k}")
+    print("== by source line ==")
+    for k, v in by_src.most_common(top):
+        print(f"{v / 1e3 / STEPS:9.2f} ms/step  "
+              f"{k.replace('/root/repo/', '')}")
 
 
 def top_instances(trace_dir: str, prefix: str = "fusion", top: int = 20):
