@@ -91,16 +91,6 @@ def top_instances(trace_dir: str, prefix: str = "fusion", top: int = 20):
         print(f"{d / 1e3 / STEPS:8.2f}  {name}")
 
 
-def _flagship_setup():
-    from __graft_entry__ import _example_rays, _flagship_config
-    from nerf_hugs_tpu.parallel import mesh as mesh_lib
-    from nerf_hugs_tpu.train import step as train_step_lib
-    from nerf_hugs_tpu.utils import structs
-    config = _flagship_config(tiny=False)
-    config.batch_size = 16384
-    return config, mesh_lib, train_step_lib, structs, _example_rays
-
-
 def main():
     target = sys.argv[1] if len(sys.argv) > 1 else "flagship"
     trace_dir = "/tmp/nerf_hugs_trace"
