@@ -239,3 +239,30 @@ def test_hashgrid_custom_vjp_recompute_path_matches_saved(monkeypatch):
     g_recompute = jax.grad(loss)(tup)
     for a, b in zip(g_saved, g_recompute):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_block_segment_sum_packed_bf16_matches_scatter_add():
+    # The bf16 grad mode (the AMP default) packs the f=2 value pair into one
+    # int32 sort payload and unpacks it in-kernel by shift+bitcast; it must
+    # equal a scatter-add of the bf16-rounded values exactly (the one-hot
+    # matmul has bf16 operands with fp32 accumulation).
+    from nerf_hugs_tpu.ops import hashgrid_bwd
+    T, K = 1024, 5000
+    keys = jax.random.randint(jax.random.PRNGKey(0), (K,), 0, T, jnp.int32)
+    vals = jax.random.normal(jax.random.PRNGKey(1), (K, 2), jnp.float32)
+    got = hashgrid_bwd.block_segment_sum(keys, vals, T, "bfloat16",
+                                         True).reshape(T, 2)
+    want = jnp.zeros((T, 2)).at[keys].add(
+        vals.astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # Asymmetric values catch a swapped lo/hi pack: feature 0 large-positive,
+    # feature 1 small-negative.
+    vals2 = jnp.stack([jnp.abs(vals[:, 0]) * 100.0,
+                       -jnp.abs(vals[:, 1]) * 0.01], axis=-1)
+    got2 = hashgrid_bwd.block_segment_sum(keys, vals2, T, "bfloat16",
+                                          True).reshape(T, 2)
+    want2 = jnp.zeros((T, 2)).at[keys].add(
+        vals2.astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-4, atol=1e-6)

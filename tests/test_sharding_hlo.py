@@ -29,22 +29,9 @@ def mesh():
 
 
 def _example_batch(batch_size, mesh):
-    rng = np.random.RandomState(0)
-    dirs = rng.randn(batch_size, 3).astype(np.float32)
-    rays = structs.Rays(
-        pix_coords=rng.rand(batch_size, 2).astype(np.float32),
-        origins=0.1 * rng.randn(batch_size, 3).astype(np.float32),
-        directions=dirs,
-        viewdirs=(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
-                  ).astype(np.float32),
-        radii=np.full((batch_size, 1), 0.001, np.float32),
-        lossmult=np.ones((batch_size, 1), np.float32),
-        static_mask=np.ones((batch_size, 1), np.float32),
-        near=np.full((batch_size, 1), 0.2, np.float32),
-        far=np.full((batch_size, 1), 2.0, np.float32),
-        embed_idx=np.zeros((batch_size, 1), np.int32),
-        cam_idx=np.zeros((batch_size, 1), np.int32))
-    rgb = rng.rand(batch_size, 3).astype(np.float32)
+    from tools.bench_nerfacto import _example_rays
+    rays = _example_rays(batch_size)
+    rgb = np.random.RandomState(1).rand(batch_size, 3).astype(np.float32)
     return mesh_lib.shard_batch(structs.Batch(rays=rays, rgb=rgb), mesh)
 
 
@@ -73,8 +60,16 @@ def test_train_step_collective_structure(mesh):
     assert count("all-to-all") == 0, "unexpected all-to-all (reshard?)"
     assert count("collective-permute") == 0, "unexpected collective-permute"
 
-    # Every train-step output is either replicated or data-sharded; the
-    # input batch sharding must be consumed as-is (no host round trip).
+    # The batch must be consumed 'data'-sharded as-is. jit prunes batch
+    # leaves the model never reads (pix_coords/static_mask/embed_idx/
+    # cam_idx for the base config), leaving the 8 live ones: origins,
+    # directions, viewdirs, radii, near, far, lossmult, rgb. A regression
+    # that silently replicates the rays would drop below that count.
     in_shardings = compiled.input_shardings[0]
     flat, _ = jax.tree_util.tree_flatten(in_shardings)
-    assert any(getattr(s, "spec", None) is not None for s in flat)
+    n_data_sharded = sum(
+        1 for s in flat
+        if getattr(s, "spec", None) is not None and "data" in str(s.spec))
+    assert n_data_sharded >= 8, (
+        f"only {n_data_sharded} inputs are 'data'-sharded; expected the 8 "
+        "live batch leaves")

@@ -41,7 +41,11 @@ def _example_rays(batch_size: int):
         cam_idx=np.zeros((batch_size, 1), np.int32))
 
 
-def bench_config(path, steps=8, warmup=2):
+def bench_config(path, steps=10, warmup=2):
+    # Defaults span TWO full proposal_update_every=5 cycles (steps base+2..
+    # base+11 contain exactly 2 update steps for every shipped config, whose
+    # max_steps//2 is a multiple of 5) — a window that is not a multiple of
+    # 5 would under/over-weight the cond's expensive update branch.
     from nerf_hugs_tpu.configs.yaml_loader import load_yaml_config
     from nerf_hugs_tpu.parallel import mesh as mesh_lib
     from nerf_hugs_tpu.train import step as train_step_lib

@@ -9,10 +9,14 @@ runs (reference trains under torch; we read XLA op events instead).
   python tools/profile_step.py flagship              # Mip-NeRF 360 bench shape
   python tools/profile_step.py configs/nerfacto/kubric_nerfacto_tpu.yml
   python tools/profile_step.py <target> --trace-dir /tmp/prof --top 30
-  python tools/profile_step.py <yaml> --step-offset 5   # freeze train_frac at
-      # max_steps//2 + offset: offset 5 profiles proposal-UPDATE steps
-      # (step %% 5 == 0), offset 1 profiles skip steps; default advances
-      # per step (a mix)
+  python tools/profile_step.py <target> --instances fusion  # per-op instances
+
+Only STEPS=2 consecutive steps are traced, so a nerfacto profile captures
+ONE branch of the proposal-grad cond, not the 1-in-5 mix: the default lands
+on SKIP steps (max_steps//2 is a multiple of 5 in every shipped config, and
+the traced steps are base+2, base+3). Pass `--step-offset 5` to freeze
+train_frac on an UPDATE step (base+5) and profile the proposal backward;
+`--step-offset 1` pins skip steps explicitly.
 """
 
 import collections
@@ -141,6 +145,9 @@ def main():
                                            thresholds)
         float(stats["loss"])
     summarize(trace_dir, top)
+    if "--instances" in sys.argv:
+        top_instances(trace_dir,
+                      sys.argv[sys.argv.index("--instances") + 1], top)
 
 
 if __name__ == "__main__":
