@@ -6,6 +6,7 @@ mipnerf360 1500 steps -> 56.9. Re-run after hash-grid/backward changes to
 confirm the sorted-scatter bf16 backward does not cost quality.
 
   python tools/validate_quality.py nerfacto [steps] [--amp]
+  python tools/validate_quality.py nerf [steps] [--amp]      # vanilla NeRF
 """
 
 import os
@@ -46,18 +47,39 @@ def nerfacto_config(amp: bool):
     return config
 
 
+def nerf_config(amp: bool):
+    from nerf_hugs_tpu.configs.config import Config
+    config = Config(
+        dataset_loader="synthetic", model_type="nerf", batch_size=4096,
+        image_num_per_batch=8, near=0.5, far=6.0, max_steps=600,
+        lr_init=2e-3, lr_final=2e-4, lr_delay_steps=50,
+        grad_max_norm=0.0, grad_max_val=0.0, data_loss_type="mse",
+        enable_amp=amp, enable_scene_contraction=False,
+        train_background_color="white", test_background_color="white",
+        interlevel_loss_mult=0.0, distortion_loss_mult=0.0,
+        data_coarse_loss_mult=0.1, render_chunk_size=4096)
+    config.nerfacto.net_depth = 8
+    config.nerfacto.net_width = 256
+    config.nerfacto.num_coarse_nerf_samples_per_ray = 64
+    config.nerfacto.num_fine_nerf_samples_per_ray = 128
+    config.nerfacto.max_deg_point = 10
+    config.nerfacto.proposal_initial_sampler = "uniform"
+    return config
+
+
 def main():
     model_type = sys.argv[1] if len(sys.argv) > 1 else "nerfacto"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 600
     amp = "--amp" in sys.argv
-    assert model_type == "nerfacto", "only nerfacto wired here"
+    assert model_type in ("nerfacto", "nerf"), model_type
 
     from nerf_hugs_tpu.data import load_dataset
     from nerf_hugs_tpu.parallel import mesh as mesh_lib
     from nerf_hugs_tpu.train import step as train_step_lib
     from nerf_hugs_tpu.train.render_image import render_image
 
-    config = nerfacto_config(amp)
+    config = (nerfacto_config(amp) if model_type == "nerfacto"
+              else nerf_config(amp))
     config.max_steps = steps
     mesh = mesh_lib.make_mesh()
     dataset = load_dataset("train", "", config)
