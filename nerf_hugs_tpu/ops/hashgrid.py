@@ -20,9 +20,11 @@ Design driven by the measured v5e cost model (docs/tpu_gather_cost_model.md):
   for 8-byte rows from per-level tables vs ~120M for 4-byte singles. Per
   (level, corner): ONE row gather on the [T, F] view (a free bitcast of
   the flat param) fetching both features — half the index count of the
-  round-1 per-feature gathers at a higher rate. Accumulation stays
-  rank-2 elementwise: a corner-fused gather + rank-3 reshape + reduce
-  makes XLA pick the padded row-major layout for the gather output.
+  round-1 per-feature gathers at a higher rate. Accumulation is PLANAR
+  per-feature 1-D (a rank-2 [n, F] accumulator chain made layout
+  assignment insert row<->column-major conversion copies on every gather
+  output — profiled 210 ms/step at base shapes; and a corner-fused
+  gather + rank-3 reshape + reduce gets the 64x padded row-major layout).
 
 * BACKWARD (`use_custom_vjp`): XLA's scatter-add transpose costs ~93M
   idx/s for 4B singles (8B rows: 13M/s) -> 10.8s/step at
@@ -41,7 +43,7 @@ Design driven by the measured v5e cost model (docs/tpu_gather_cost_model.md):
   autodiff through the plain XLA path.
 
 Measured end to end at kubric_nerfacto_base shapes on one v5e: the full
-train step went from ~25 s (round-1 XLA formulation) to 3.50 s (with the
+train step went from ~25 s (round-1 XLA formulation) to 3.17 s (with the
 proposal-grad cond in models/nerfacto.py; docs/tpu_gather_cost_model.md).
 """
 
@@ -223,17 +225,23 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
         rows, weights = _corner_rows_level(spec, positions, lvl)  # [2^d, n]
         if want_residuals:
             rw.append((rows, weights))
-        # One gather per corner, rank-2 elementwise accumulation only. A
-        # fused [2^d*n, F] gather + rank-3 reshape + reduce looks cleaner but
-        # makes XLA assign the gather output a (8,128)-tiled row-major
-        # layout — 64x padding on the F=2 axis (16 GB at base shapes).
+        # One gather per corner; accumulation in PLANAR per-feature 1-D
+        # columns. A fused [2^d*n, F] gather + rank-3 reshape + reduce looks
+        # cleaner but makes XLA assign the gather output a (8,128)-tiled
+        # row-major layout — 64x padding on the F=2 axis (16 GB at base
+        # shapes) — and a rank-2 [n, F] accumulator chain makes layout
+        # assignment insert row<->column-major conversion copies on every
+        # gather output (profiled 210 ms/step at base shapes). The strided
+        # vals[:, j] reads fuse into the elementwise chain; only the final
+        # stack materializes a rank-2 array per level.
         tab_l = tab[lvl].reshape(spec.table_size, f)  # free bitcast view
-        acc = jnp.zeros((n, f))
+        accs = [jnp.zeros((n,)) for _ in range(f)]
         for c in range(num_corners):
             vals = jnp.take(tab_l, rows[c], axis=0)               # [n, F]
-            acc = acc + weights[c][:, None] * vals
-        outs.append(acc)
-    out = jnp.concatenate(outs, axis=-1)               # [n, L*F]
+            for j in range(f):
+                accs[j] = accs[j] + weights[c] * vals[:, j]
+        outs.extend(accs)
+    out = jnp.stack(outs, axis=-1)                     # [n, L*F]
     out = out.reshape(lead_shape + (spec.output_dim,))
     if want_residuals:
         return out, tuple(rw)
