@@ -52,7 +52,7 @@ def nerf_config(amp: bool):
     config = Config(
         dataset_loader="synthetic", model_type="nerf", batch_size=4096,
         image_num_per_batch=8, near=0.5, far=6.0, max_steps=600,
-        lr_init=2e-3, lr_final=2e-4, lr_delay_steps=50,
+        lr_init=5e-4, lr_final=5e-5, lr_delay_steps=50,
         grad_max_norm=0.0, grad_max_val=0.0, data_loss_type="mse",
         enable_amp=amp, enable_scene_contraction=False,
         train_background_color="white", test_background_color="white",
