@@ -32,7 +32,6 @@ from typing import Any, Dict, List
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from nerf_hugs_tpu.configs import config as cfg
 from nerf_hugs_tpu.core import coord, render, stepfun

@@ -11,7 +11,7 @@ coarse_rgb_loss_mult.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

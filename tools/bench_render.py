@@ -19,7 +19,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 CHUNK = 16384
 CHUNKS = 12
