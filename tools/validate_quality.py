@@ -7,6 +7,7 @@ confirm the sorted-scatter bf16 backward does not cost quality.
 
   python tools/validate_quality.py nerfacto [steps] [--amp]
   python tools/validate_quality.py nerf [steps] [--amp]      # vanilla NeRF
+  python tools/validate_quality.py mipnerf360 [steps]        # flagship stack
 """
 
 import os
@@ -67,19 +68,38 @@ def nerf_config(amp: bool):
     return config
 
 
+def mipnerf360_config(amp: bool):
+    from nerf_hugs_tpu.configs.config import Config, MLPConfig
+    config = Config(
+        dataset_loader="synthetic", batch_size=4096,
+        image_num_per_batch=8, near=0.5, far=6.0, max_steps=1500,
+        lr_init=2e-3, lr_final=2e-4, lr_delay_steps=100,
+        grad_max_norm=0.001, data_loss_type="mse",
+        interlevel_loss_mult=1.0, distortion_loss_mult=0.01,
+        render_chunk_size=4096)
+    del amp  # the mipnerf360 stack trains fp32 like the reference
+    config.model.num_prop_samples = 64
+    config.model.num_nerf_samples = 32
+    config.model.num_levels = 3
+    config.nerf_mlp = MLPConfig(net_depth=4, net_width=256,
+                                bottleneck_width=128, net_width_viewdirs=128)
+    config.prop_mlp = MLPConfig(net_depth=4, net_width=128, disable_rgb=True)
+    return config
+
+
 def main():
     model_type = sys.argv[1] if len(sys.argv) > 1 else "nerfacto"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 600
     amp = "--amp" in sys.argv
-    assert model_type in ("nerfacto", "nerf"), model_type
+    assert model_type in ("nerfacto", "nerf", "mipnerf360"), model_type
 
     from nerf_hugs_tpu.data import load_dataset
     from nerf_hugs_tpu.parallel import mesh as mesh_lib
     from nerf_hugs_tpu.train import step as train_step_lib
     from nerf_hugs_tpu.train.render_image import render_image
 
-    config = (nerfacto_config(amp) if model_type == "nerfacto"
-              else nerf_config(amp))
+    config = {"nerfacto": nerfacto_config, "nerf": nerf_config,
+              "mipnerf360": mipnerf360_config}[model_type](amp)
     config.max_steps = steps
     mesh = mesh_lib.make_mesh()
     dataset = load_dataset("train", "", config)
