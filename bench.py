@@ -12,11 +12,25 @@ vs_baseline uses the reference's published hardware recipe as the yardstick:
 (README.md:120). Public multinerf-class reproductions land around ~1 step/s
 on that 4-GPU recipe => ~16384 rays/s system, ~4096 rays/s/GPU. That figure
 is the documented assumption here; the driver records the raw value too.
+
+The nerfacto extras carry their own vs_baseline. Written basis (the
+reference pins no step rate, BASELINE.md): the reference nerfacto trains
+batch 16384 / 25k steps / AMP fp16 on ONE 24 GB GPU (README.md:120,
+kubric_nerfacto_base.yml:19-26). Nerfstudio's stock nerfacto — same
+architecture family at hidden_dim=64, ~400 samples/ray, batch 4096 — is
+publicly quoted at ~20-30 min for 30k steps on an RTX 3090 (~17-25 steps/s,
+~70-100k rays/s). The reference's kubric shapes keep a similar sample count
+(256+128) but are ~2-4x heavier per sample (hidden 256 vs 64, geo_feat 64,
+2^21 tables, max_res 8192), giving an estimated ~2 steps/s at batch 16384 =
+32768 rays/s on the reference's own single-GPU recipe. That assumption is
+pinned below; docs/tpu_gather_cost_model.md has the roofline analysis of
+the remaining gap (v5e descriptor-rate ceiling on hash-table gathers).
 """
 
 import json
 import os
 import time
+import traceback
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
@@ -24,37 +38,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_RAYS_PER_SEC_PER_GPU = 4096.0  # see module docstring
+REFERENCE_RAYS_PER_SEC_PER_GPU = 4096.0           # see module docstring
+REFERENCE_NERFACTO_RAYS_PER_SEC_PER_GPU = 32768.0  # see module docstring
 
 BATCH_SIZE = 16384
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 
 
-def main():
-    from __graft_entry__ import _example_rays, _flagship_config
+def _time_flagship(config, mesh):
+    """Build fresh state+batch for `config`, warm up, and time the step.
+
+    Each precision variant gets its own freshly sharded batch/thresholds so
+    nothing here depends on whether a previous run donated its buffers.
+    """
     from nerf_hugs_tpu.parallel import mesh as mesh_lib
     from nerf_hugs_tpu.train import step as train_step_lib
     from nerf_hugs_tpu.utils import structs
+    from __graft_entry__ import _example_rays
 
-    devices = jax.devices()
-    mesh = mesh_lib.make_mesh(devices)
-    n_chips = len(devices)
-
-    config = _flagship_config(tiny=False)
-    config.batch_size = BATCH_SIZE
-    model, state, _, train_step, _ = train_step_lib.setup_model(
+    _, state, _, train_step, _ = train_step_lib.setup_model(
         config, jax.random.PRNGKey(0), mesh)
     state = mesh_lib.replicate(state, mesh)
-
-    rays = _example_rays(BATCH_SIZE)
-    rgb = np.random.RandomState(1).rand(BATCH_SIZE, 3).astype(np.float32)
+    rays = _example_rays(config.batch_size)
+    rgb = np.random.RandomState(1).rand(config.batch_size, 3).astype(np.float32)
     batch = mesh_lib.shard_batch(structs.Batch(rays=rays, rgb=rgb), mesh)
-    thresholds = mesh_lib.replicate(
-        jnp.ones(config.num_ray_levels), mesh)
+    thresholds = mesh_lib.replicate(jnp.ones(config.num_ray_levels), mesh)
+    rng = mesh_lib.replicate(jax.random.PRNGKey(1), mesh)
     train_frac = jnp.asarray(0.5)
 
-    rng = mesh_lib.replicate(jax.random.PRNGKey(1), mesh)
     for _ in range(WARMUP_STEPS):
         state, stats, rng = train_step(rng, state, batch, train_frac,
                                        thresholds)
@@ -66,10 +78,23 @@ def main():
     for _ in range(MEASURE_STEPS):
         state, stats, rng = train_step(rng, state, batch, train_frac,
                                        thresholds)
-    float(stats["loss"])
-    elapsed = time.perf_counter() - t0
+    loss = float(stats["loss"])
+    dt = (time.perf_counter() - t0) / MEASURE_STEPS
+    return dt, loss
 
-    steps_per_sec = MEASURE_STEPS / elapsed
+
+def main():
+    from __graft_entry__ import _flagship_config
+    from nerf_hugs_tpu.parallel import mesh as mesh_lib
+
+    devices = jax.devices()
+    mesh = mesh_lib.make_mesh(devices)
+    n_chips = len(devices)
+
+    config = _flagship_config(tiny=False)
+    config.batch_size = BATCH_SIZE
+    dt, loss = _time_flagship(config, mesh)
+    steps_per_sec = 1.0 / dt
     rays_per_sec = steps_per_sec * BATCH_SIZE
     rays_per_sec_per_chip = rays_per_sec / n_chips
 
@@ -77,14 +102,12 @@ def main():
         "steps_per_sec": round(steps_per_sec, 3),
         "batch_size": BATCH_SIZE,
         "n_chips": n_chips,
-        "loss": float(stats["loss"]),
+        "loss": loss,
     }
 
     # Secondary lines: nerfacto backbone (reference-shaped + TPU-tuned) and
     # the bf16 flagship overlay — recorded in extras so the primary metric
     # stays the fp32 flagship (round-over-round comparable).
-    import traceback
-
     from tools.bench_nerfacto import bench_config
     # steps must span a full proposal_update_every period (5): the train
     # step's cost alternates with the proposal-grad cond (models/nerfacto.py).
@@ -94,6 +117,13 @@ def main():
             ("vanilla_base", "configs/nerfacto/kubric_nerf_base.yml", 20)):
         try:
             extra[key] = bench_config(path, steps=steps, warmup=1)
+            if key.startswith("nerfacto") and "rays_per_sec" in extra[key]:
+                extra[key]["vs_baseline"] = round(
+                    extra[key]["rays_per_sec"]
+                    / REFERENCE_NERFACTO_RAYS_PER_SEC_PER_GPU, 3)
+                extra[key]["baseline_basis"] = (
+                    "est. 2 steps/s (32768 rays/s) for the reference's "
+                    "1x24GB-GPU AMP recipe; see bench.py docstring")
         except Exception:
             extra[key] = {"error": traceback.format_exc(limit=1)}
 
@@ -104,24 +134,11 @@ def main():
         config_bf16 = _flagship_config(tiny=False)
         config_bf16.batch_size = BATCH_SIZE
         config_bf16.model.compute_dtype = "bfloat16"
-        _, state_b, _, step_b, _ = train_step_lib.setup_model(
-            config_bf16, jax.random.PRNGKey(0), mesh)
-        state_b = mesh_lib.replicate(state_b, mesh)
-        rng_b = mesh_lib.replicate(jax.random.PRNGKey(1), mesh)
-        for _ in range(WARMUP_STEPS):
-            state_b, stats_b, rng_b = step_b(rng_b, state_b, batch,
-                                             train_frac, thresholds)
-        float(stats_b["loss"])
-        t0 = time.perf_counter()
-        for _ in range(MEASURE_STEPS):
-            state_b, stats_b, rng_b = step_b(rng_b, state_b, batch,
-                                             train_frac, thresholds)
-        float(stats_b["loss"])
-        dt = (time.perf_counter() - t0) / MEASURE_STEPS
+        dt_b, loss_b = _time_flagship(config_bf16, mesh)
         extra["flagship_bf16"] = {
-            "sec_per_step": round(dt, 3),
-            "rays_per_sec": round(BATCH_SIZE / dt, 1),
-            "loss": float(stats_b["loss"]),
+            "sec_per_step": round(dt_b, 3),
+            "rays_per_sec": round(BATCH_SIZE / dt_b, 1),
+            "loss": loss_b,
         }
     except Exception:
         extra["flagship_bf16"] = {"error": traceback.format_exc(limit=1)}

@@ -173,6 +173,16 @@ class Config:
     data_dir: Optional[str] = None
     vocab_tree_path: Optional[str] = None
     render_chunk_size: int = 16384
+    # Synthetic (procedural) dataset scale — no reference equivalent; lets
+    # hardware quality validation run the exact benched configs against a
+    # scene with enough pixels to be non-trivial (tools/validate_quality.py).
+    synthetic_num_images: int = 8
+    synthetic_height: int = 24
+    synthetic_width: int = 32
+    # Uniformly scales the procedural world (camera orbit + sphere) so the
+    # synthetic scene fits a real config's near/far/bound untouched (e.g.
+    # kubric's near=0.1/far=1.2 with scale 0.35).
+    synthetic_world_scale: float = 1.0
     num_showcase_images: int = 5
     deterministic_showcase: bool = True
     vis_num_rays: int = 16

@@ -16,11 +16,12 @@ from nerf_hugs_tpu.data import base
 from nerf_hugs_tpu.utils import structs
 
 
-def _sphere_world_color(origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
-    """Analytic render of a diffuse unit-sphere at the origin over white bg."""
+def _sphere_world_color(origins: np.ndarray, dirs: np.ndarray,
+                        radius: float = 0.5) -> np.ndarray:
+    """Analytic render of a diffuse sphere at the origin over white bg."""
     d = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
     b = np.sum(origins * d, axis=-1)
-    c = np.sum(origins * origins, axis=-1) - 0.25  # radius 0.5
+    c = np.sum(origins * origins, axis=-1) - radius * radius
     disc = b * b - c
     hit = disc > 0
     t = -b - np.sqrt(np.maximum(disc, 0))
@@ -48,19 +49,29 @@ class Synthetic(base.Dataset):
     DISTRACTORS = False
 
     def _load_renderings(self, config):
-        n = self.NUM_IMAGES
-        h, w = self.HEIGHT, self.WIDTH
+        n = config.synthetic_num_images or self.NUM_IMAGES
+        h = config.synthetic_height or self.HEIGHT
+        w = config.synthetic_width or self.WIDTH
         if config.factor > 1:
             h, w = h // config.factor, w // config.factor
         rng = np.random.RandomState(42)
+        scale = config.synthetic_world_scale
+
+        # Test views sit between the train azimuths (half-step offset, no
+        # height jitter): genuinely held-out cameras rather than re-scored
+        # train poses.
+        held_out = self.split == structs.DataSplit.TEST
+        theta_offset = np.pi / n if held_out else 0.0
 
         (self.images, self.static_masks, self.nears, self.fars,
          self.distortion_params, self.camtypes) = [], [], [], [], [], []
         heights, widths, focals, embeds, c2ws, p2cs = [], [], [], [], [], []
         for i in range(n):
-            theta = 2 * np.pi * i / n
-            position = np.array([2.5 * np.cos(theta), 2.5 * np.sin(theta),
-                                 1.2 + 0.1 * rng.randn()])
+            theta = 2 * np.pi * i / n + theta_offset
+            z_jitter = 0.0 if held_out else 0.1 * rng.randn()
+            position = scale * np.array([2.5 * np.cos(theta),
+                                         2.5 * np.sin(theta),
+                                         1.2 + z_jitter])
             z_axis = camera_utils.normalize(position)  # camera looks at origin
             c2w = camera_utils.viewmatrix(z_axis, np.array([0.0, 0, 1]), position)
             focal = 0.9 * w
@@ -69,7 +80,7 @@ class Synthetic(base.Dataset):
             xg, yg = camera_utils.pixel_coordinates(w, h)
             origins, dirs, _, _ = camera_utils.pixels_to_rays(
                 xg, yg, pixtocam, c2w)
-            image = _sphere_world_color(origins, dirs)
+            image = _sphere_world_color(origins, dirs, radius=0.5 * scale)
 
             static_mask = np.ones((h, w, 1), np.float32)
             if self.DISTRACTORS and self.split == structs.DataSplit.TRAIN:

@@ -309,10 +309,13 @@ class NerfactoModel(nn.Module):
         frac = jnp.clip(curr_step / n_anneal, 0, 1)
         s = nc.proposal_weights_anneal_slope
         anneal = (s * frac) / ((s - 1) * frac + 1)
-        interval = jnp.clip(
+        # floor matches the reference's int() truncation of the warmup
+        # interp (nerfacto.py:299-303); round would fire the expensive
+        # update branch on a different cadence early in training.
+        interval = jnp.floor(jnp.clip(
             curr_step * nc.proposal_update_every / max(nc.proposal_warmup, 1),
-            1, nc.proposal_update_every)
-        update_prop = (jnp.round(curr_step) % jnp.round(interval)) < 0.5
+            1, nc.proposal_update_every))
+        update_prop = (jnp.round(curr_step) % interval) < 0.5
 
         deterministic = rng is None
         sdist = jnp.concatenate(

@@ -261,7 +261,13 @@ def _encode_custom(table, positions, spec: HashGridSpec, interpret: bool):
 # (phototourism_nerfacto_base's 512-sample proposal field would hold
 # 2.7 GB; with the cap its backward recomputes while the other fields
 # still save — worst-case extra residency ~3.5 GB on a 16 GB chip).
-_RESIDUAL_BYTES_CAP = int(2.5 * (1 << 30))
+#
+# Scope caveat: the cap is PER ENCODE CALL, not per train step — there is
+# no global accounting, so k fields in one step can each sit just under the
+# cap and coexist (bounded by fields-per-step × cap; with today's configs
+# ≤2 encodes save residuals at once, the ~3.5 GB estimate above). A config
+# with many more proposal fields should lower this cap or it can OOM.
+_RESIDUAL_BYTES_CAP_PER_CALL = int(2.5 * (1 << 30))
 
 
 def _encode_custom_fwd(table, positions, spec, interpret):
@@ -269,7 +275,7 @@ def _encode_custom_fwd(table, positions, spec, interpret):
     # recompute them past the size cap — and the table dtype are needed.
     n = int(np.prod(positions.shape[:-1]))
     nbytes = spec.num_levels * n * (1 << spec.num_dims) * 8  # i32 + f32
-    if nbytes <= _RESIDUAL_BYTES_CAP:
+    if nbytes <= _RESIDUAL_BYTES_CAP_PER_CALL:
         out, rw = _encode_impl(table, positions, spec, want_residuals=True)
     else:
         out = _encode_impl(table, positions, spec)

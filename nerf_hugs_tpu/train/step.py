@@ -5,8 +5,10 @@ TPU-first redesign of MipNeRF360/internal/train_utils.py:372-608:
                        mesh axis, params replicated; XLA inserts the grad
                        all-reduce over ICI automatically)
   * donate_argnums  -> donate the TrainState buffers each step
-  * finetune        -> optax.multi_transform freezing everything whose param
-                       path lacks 'embedding' (train_utils.py:539-544)
+  * finetune        -> optax.multi_transform freezing everything outside the
+                       finetune param groups (train_utils.py:539-544 for the
+                       mipnerf360 'embedding' predicate; nerfacto/train.py:136
+                       for config.finetune_params group selection)
 Stats keep the reference's names (mses/psnrs/grad_norms/...) so logging and
 the BASELINE counters line up.
 """
@@ -92,11 +94,41 @@ def create_optimizer(config: Config, variables
     return TrainState.create(apply_fn=None, params=variables, tx=tx), lr_fn
 
 
+def finetune_partitions(config: Config, variables):
+    """'trainable'/'frozen' label per param for the finetune stage.
+
+    Two predicate dialects, matching the two reference stacks:
+      * nerfacto/nerf: the trainable set is config.finetune_params, a list of
+        the model's param-group names (nerfacto/train.py:136 consuming
+        models/nerfacto.py get_params_dict keys: field / proposal /
+        appearance_embedding / transient_embedding / implicit_mask). Our flax
+        modules carry the same top-level names, except 'proposal' fans out to
+        proposal_0..proposal_{k-1}.
+      * mipnerf360: `'embedding' in path` — exact path-element membership
+        (train_utils.py:542-543), which selects every nn.Embed leaf.
+    """
+    if config.model_type in ("nerfacto", "nerf"):
+        groups = tuple(config.finetune_params or ())
+
+        def is_trainable(path):
+            mods = path[1:] if path and path[0] == "params" else path
+            top = mods[0] if mods else ""
+            return any(top == g or (g == "proposal"
+                                    and top.startswith("proposal"))
+                       for g in groups)
+    else:
+        def is_trainable(path):
+            return "embedding" in path
+
+    return traverse_util.path_aware_map(
+        lambda path, v: "trainable" if is_trainable(path) else "frozen",
+        variables)
+
+
 def create_finetune_optimizer(config: Config, variables
                               ) -> Tuple[TrainState, Callable[[int], Any]]:
-    """Adam on embedding params only; everything else frozen
-    (train_utils.py:515-552). The partition predicate is a path-substring
-    match on 'embedding', same as the reference."""
+    """Adam on the finetune param groups only; everything else frozen
+    (train_utils.py:515-552, nerfacto/train.py:136)."""
     lr_fn = functools.partial(
         nh_math.learning_rate_decay, lr_init=config.finetune_lr_init,
         lr_final=config.finetune_lr_final, max_steps=config.finetune_max_steps,
@@ -105,11 +137,9 @@ def create_finetune_optimizer(config: Config, variables
     adam = optax.adam(learning_rate=lr_fn, b1=config.finetune_adam_beta1,
                       b2=config.finetune_adam_beta2,
                       eps=config.finetune_adam_eps)
-    partitions = traverse_util.path_aware_map(
-        lambda path, v: "trainable" if any("embedding" in p for p in path)
-        else "frozen", variables)
     tx = optax.multi_transform(
-        {"trainable": adam, "frozen": optax.set_to_zero()}, partitions)
+        {"trainable": adam, "frozen": optax.set_to_zero()},
+        finetune_partitions(config, variables))
     return TrainState.create(apply_fn=None, params=variables, tx=tx), lr_fn
 
 

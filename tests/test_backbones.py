@@ -114,6 +114,41 @@ def test_nerfacto_hanerf_smoke(mesh):
     assert np.isfinite(psnrs).all()
 
 
+def test_nerfacto_finetune_params_selects_groups(mesh):
+    """config.finetune_params picks the reference's param groups
+    (nerfacto/train.py:136): a phototourism-style nerfw finetune with
+    finetune_params=[appearance_embedding] must update the appearance
+    embedding and freeze everything else — including transient_embedding."""
+    config = nerfacto_config(transient_type="nerfw",
+                             finetune_params=("appearance_embedding",))
+    config.nerfacto.use_transient_embedding = True
+    config.nerfacto.use_appearance_embedding = True
+    dataset = load_dataset("train", "", config)
+    model, state, _, _, _ = train_step_lib.setup_model(
+        config, jax.random.PRNGKey(0), mesh)
+    ft_state, ft_step, _ = train_step_lib.setup_finetune_model(
+        config, model, state, mesh)
+    ft_state = mesh_lib.replicate(ft_state, mesh)
+    before = jax.device_get(ft_state.params)
+    batch = mesh_lib.shard_batch(next(dataset), mesh)
+    ft_state, _, _ = ft_step(jax.random.PRNGKey(3), ft_state, batch,
+                             jnp.asarray(0.5), jnp.ones(8))
+    after = jax.device_get(ft_state.params)
+
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(before)[0])
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(after)[0])
+    changed, frozen_violations = [], []
+    for path in flat_b:
+        name = jax.tree_util.keystr(path)
+        if np.allclose(flat_b[path], flat_a[path]):
+            continue
+        (changed if "appearance_embedding" in name
+         else frozen_violations).append(name)
+    assert changed, "appearance_embedding was not updated"
+    assert not frozen_violations, (
+        f"params outside finetune_params changed: {frozen_violations}")
+
+
 def test_vanilla_nerf_nerfw_smoke(mesh):
     config = nerf_config(transient_type="nerfw")
     config.nerfacto.use_transient_embedding = True

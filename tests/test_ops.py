@@ -221,7 +221,7 @@ def test_hashgrid_flat_table_roundtrip():
 
 
 def test_hashgrid_custom_vjp_recompute_path_matches_saved(monkeypatch):
-    # Above _RESIDUAL_BYTES_CAP the backward recomputes rows/weights from
+    # Above _RESIDUAL_BYTES_CAP_PER_CALL the backward recomputes rows/weights from
     # positions instead of using saved residuals; both paths must produce
     # identical gradients.
     from nerf_hugs_tpu.ops import hashgrid as hg
@@ -235,7 +235,7 @@ def test_hashgrid_custom_vjp_recompute_path_matches_saved(monkeypatch):
     cot = jax.random.normal(jax.random.PRNGKey(2), (97, spec.output_dim))
     loss = lambda t: jnp.sum(hg._encode_custom(t, pos, spec, True) * cot)
     g_saved = jax.grad(loss)(tup)
-    monkeypatch.setattr(hg, "_RESIDUAL_BYTES_CAP", 0)
+    monkeypatch.setattr(hg, "_RESIDUAL_BYTES_CAP_PER_CALL", 0)
     g_recompute = jax.grad(loss)(tup)
     for a, b in zip(g_saved, g_recompute):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

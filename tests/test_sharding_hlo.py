@@ -51,14 +51,21 @@ def test_train_step_collective_structure(mesh):
     def count(op):
         return len(re.findall(rf"\b{op}\b", hlo))
 
-    n_ar = count("all-reduce") + count("all-reduce-start")
+    # \ball-reduce\b would also match inside 'all-reduce-start' (hyphen is
+    # a word boundary) — exclude the async form with a lookahead so the two
+    # counts are disjoint.
+    n_ar = len(re.findall(r"\ball-reduce(?!-start)\b", hlo)) + count(
+        "all-reduce-start")
     assert n_ar > 0, "expected a gradient all-reduce in the train step"
     # Replicated params + sharded batch need no gathers or reshards. XLA may
     # emit a handful of all-reduces (grads can be bucketed; stats reduce
-    # too) but any gather/permute means the sharding contract broke.
+    # too) but any gather/permute means the sharding contract broke — and a
+    # reduce-scatter would mean the grad all-reduce got lowered as
+    # reduce-scatter + dynamic-slice (params no longer fully replicated).
     assert count("all-gather") == 0, "unexpected all-gather (param shard?)"
     assert count("all-to-all") == 0, "unexpected all-to-all (reshard?)"
     assert count("collective-permute") == 0, "unexpected collective-permute"
+    assert count("reduce-scatter") == 0, "unexpected reduce-scatter"
 
     # The batch must be consumed 'data'-sharded as-is. jit prunes batch
     # leaves the model never reads (pix_coords/static_mask/embed_idx/

@@ -1,15 +1,37 @@
-"""Hardware quality validation: train a backbone on the synthetic sphere
-world on the real TPU and report clean test-view PSNR.
+"""Hardware quality validation on the procedural sphere world (real TPU).
 
-Round-1 baselines (CLAUDE.md): nerfacto 600 steps -> test PSNR 30.8;
-mipnerf360 1500 steps -> 56.9. Re-run after hash-grid/backward changes to
-confirm the sorted-scatter bf16 backward does not cost quality.
+Two modes:
 
-  python tools/validate_quality.py nerfacto [steps] [--amp]
-  python tools/validate_quality.py nerf [steps] [--amp]      # vanilla NeRF
-  python tools/validate_quality.py mipnerf360 [steps]        # flagship stack
+1. Exact-config mode (VERDICT r2 #1): train one of the *benched* config
+   files end-to-end through the real train.py driver, overriding ONLY the
+   dataset (procedural synthetic scene scaled to fit the config's own
+   near/far/bound via Config.synthetic_world_scale) plus the eval/checkpoint
+   cadence. Every model shape, sample count, precision flag, optimizer and
+   schedule field comes from the config file unchanged, so the quality
+   numbers refer to the same shapes bench.py times.
+
+     python tools/validate_quality.py --config configs/nerfacto/kubric_nerfacto_base.yml \
+         [--steps N] [--eval-every N] [--save-dir DIR]
+     python tools/validate_quality.py --config configs/mipnerf360/kubric_1024_base.gin ...
+
+   Prints the driver's in-train eval lines ([train] N: eval psnr=...) as the
+   PSNR-vs-steps table, then a final full-test-set RESULT line. Training
+   checkpoints at --eval-every cadence, so a wedged TPU tunnel costs only
+   the tail (rerun with the same --save-dir to resume).
+
+2. Legacy reduced-config mode (round-1/2 continuity): custom small configs,
+   kept so the historical PSNR baselines in CLAUDE.md remain reproducible.
+
+     python tools/validate_quality.py nerfacto [steps] [--amp]
+     python tools/validate_quality.py nerf [steps] [--amp]
+     python tools/validate_quality.py mipnerf360 [steps]
+
+NOTE (round 3): the synthetic TEST split is now genuinely held out (half-step
+azimuth offset, no height jitter) — test PSNRs are not comparable with the
+round-1/2 numbers, which scored the train poses.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -21,6 +43,122 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Scene-only overrides for exact-config mode. World scale 0.35 puts the
+# camera orbit at radius 0.875 and the sphere surface 0.7-1.05 from the
+# cameras, inside kubric's near=0.1 / far=1.2 (gin) and far=2 (yaml) and
+# bound=1 — so the config's own geometry fields apply unchanged.
+SCENE_OVERRIDES = {
+    "num_images": 32,
+    "height": 192,   # factor=2 in the kubric configs -> 96x128 effective
+    "width": 256,
+    "world_scale": 0.35,
+}
+
+
+def _yaml_override_file(config_path, save_dir, args):
+    """Copy the yaml config, patching only dataset + cadence keys."""
+    import yaml
+    with open(config_path) as f:
+        raw = yaml.safe_load(f)
+    base = raw["base"]
+    transient = raw.get("model", {}).get("transient_type")
+    base["dataset_type"] = ("synthetic_distractor" if transient
+                            else "synthetic")
+    base["synthetic_num_images"] = SCENE_OVERRIDES["num_images"]
+    base["synthetic_height"] = SCENE_OVERRIDES["height"]
+    base["synthetic_width"] = SCENE_OVERRIDES["width"]
+    base["synthetic_world_scale"] = SCENE_OVERRIDES["world_scale"]
+    if args.steps:
+        base["num_steps"] = args.steps
+    eval_every = args.eval_every or max(500, base.get("num_steps", 25000) // 10)
+    base["eval_render_every"] = eval_every
+    base["save_weight_every"] = eval_every
+    base["save_eval_render"] = False
+    base["save_test_render"] = False
+    base["use_eval_lpips"] = False
+    out = os.path.join(save_dir, "validate_config.yml")
+    with open(out, "w") as f:
+        yaml.safe_dump(raw, f)
+    return out, ["--config", out], base.get("num_steps", 25000)
+
+
+def _gin_override_args(config_path, save_dir, args):
+    """Pass the gin file untouched; overrides go in as --gin_bindings."""
+    from nerf_hugs_tpu.configs import gin_parser
+    probe = gin_parser.parse_gin_configs([config_path], [])
+    loader = ("synthetic_distractor" if probe.transient_type
+              else "synthetic")
+    steps = args.steps or probe.max_steps
+    eval_every = args.eval_every or max(500, steps // 10)
+    bindings = [
+        f"Config.dataset_loader = '{loader}'",
+        f"Config.synthetic_num_images = {SCENE_OVERRIDES['num_images']}",
+        f"Config.synthetic_height = {SCENE_OVERRIDES['height']}",
+        f"Config.synthetic_width = {SCENE_OVERRIDES['width']}",
+        f"Config.synthetic_world_scale = {SCENE_OVERRIDES['world_scale']}",
+        f"Config.max_steps = {steps}",
+        f"Config.train_render_every = {eval_every}",
+        f"Config.checkpoint_every = {eval_every}",
+        "Config.finetune_enable = False",
+    ]
+    argv = ["--gin_configs", config_path]
+    for b in bindings:
+        argv += ["--gin_bindings", b]
+    return None, argv, steps
+
+
+def run_exact_config(args):
+    import train as train_driver
+    from nerf_hugs_tpu.data import load_dataset
+    from nerf_hugs_tpu.metrics.image import MetricHarness
+    from nerf_hugs_tpu.parallel import mesh as mesh_lib
+    from nerf_hugs_tpu.train import checkpoints
+    from nerf_hugs_tpu.train import step as train_step_lib
+    from nerf_hugs_tpu.train.render_image import render_image
+
+    tag = os.path.splitext(os.path.basename(args.config))[0]
+    save_dir = args.save_dir or f"/tmp/validate_{tag}"
+    os.makedirs(save_dir, exist_ok=True)
+    if args.config.endswith((".yml", ".yaml")):
+        _, cfg_argv, steps = _yaml_override_file(args.config, save_dir, args)
+    else:
+        _, cfg_argv, steps = _gin_override_args(args.config, save_dir, args)
+
+    argv = cfg_argv + ["--data_dir", "synthetic", "--save_dir", save_dir]
+    print(f"=== exact-config validation: {tag} ({steps} steps) ===",
+          flush=True)
+    print("train.py argv:", " ".join(argv), flush=True)
+    t0 = time.time()
+    train_driver.main(argv)
+    print(f"training wall-clock: {time.time()-t0:.0f}s", flush=True)
+
+    # Final full-test-set score at the exact config (held-out views).
+    config = train_driver.load_config_from_args(
+        train_driver.parse_args(argv))
+    mesh = mesh_lib.make_mesh()
+    _, state, render_fn, _, _ = train_step_lib.setup_model(
+        config, jax.random.PRNGKey(0), mesh)
+    state = checkpoints.restore_checkpoint(save_dir, state)
+    params = mesh_lib.replicate(state.params, mesh)
+
+    test_ds = load_dataset("test", "", config, is_training=False)
+    harness = MetricHarness()
+    psnrs, ssims = [], []
+    for idx in range(test_ds.size):
+        batch = test_ds.generate_ray_batch(idx)
+        rendering = render_image(render_fn, batch.rays, 1.0, params,
+                                 config, mesh)
+        m = harness(jnp.asarray(np.clip(rendering["rgb"], 0, 1)),
+                    jnp.asarray(batch.rgb))
+        psnrs.append(float(m["psnr"]))
+        ssims.append(float(m["ssim"]))
+    print(f"RESULT config={tag} steps={steps} "
+          f"test_psnr={np.mean(psnrs):.2f} test_ssim={np.mean(ssims):.4f} "
+          f"per_image_psnr={[round(p, 2) for p in psnrs]}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Legacy reduced-config mode (round-1/2 baselines).
 
 def nerfacto_config(amp: bool):
     from nerf_hugs_tpu.configs.config import Config
@@ -87,12 +225,7 @@ def mipnerf360_config(amp: bool):
     return config
 
 
-def main():
-    model_type = sys.argv[1] if len(sys.argv) > 1 else "nerfacto"
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 600
-    amp = "--amp" in sys.argv
-    assert model_type in ("nerfacto", "nerf", "mipnerf360"), model_type
-
+def run_legacy(model_type: str, steps: int, amp: bool):
     from nerf_hugs_tpu.data import load_dataset
     from nerf_hugs_tpu.parallel import mesh as mesh_lib
     from nerf_hugs_tpu.train import step as train_step_lib
@@ -131,6 +264,26 @@ def main():
     print(f"RESULT {model_type} amp={amp} steps={steps} "
           f"test_psnr={np.mean(psnrs):.2f} per_image="
           f"{[round(p, 2) for p in psnrs]}", flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("model_type", nargs="?", default=None,
+                        choices=["nerfacto", "nerf", "mipnerf360"])
+    parser.add_argument("steps_pos", nargs="?", type=int, default=600)
+    parser.add_argument("--config", type=str, default=None,
+                        help="exact benched config file (.yml or .gin)")
+    parser.add_argument("--steps", type=int, default=0)
+    parser.add_argument("--eval-every", type=int, default=0)
+    parser.add_argument("--save-dir", type=str, default=None)
+    parser.add_argument("--amp", action="store_true")
+    args = parser.parse_args()
+
+    if args.config:
+        run_exact_config(args)
+    else:
+        assert args.model_type, "need a model_type or --config"
+        run_legacy(args.model_type, args.steps_pos, args.amp)
 
 
 if __name__ == "__main__":
