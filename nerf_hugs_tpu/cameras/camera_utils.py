@@ -5,6 +5,18 @@ Host-side (numpy) pose alignment / render-path generation plus an xnp-generic
 Parity target: MipNeRF360/internal/camera_utils.py (NDC :32-98, pose PCA
 :112-227, paths :159-378, intrinsics :381-407, undistortion :410-494,
 pixels_to_rays :503-607, cast_ray_batch :610-672, spherical :700-745).
+
+PROVENANCE: the pose-alignment and render-path functions in this module
+(`transform_poses_pca`, `generate_spiral_path`, `generate_ellipse_path`,
+`generate_interpolated_path`) are intentional ports of the corresponding
+Apache-2.0 multinerf routines (google-research/multinerf
+internal/camera_utils.py), which the reference vendors unchanged. Their
+outputs define the coordinate frames and camera paths of every released
+checkpoint and rendering, so they are kept numerically output-compatible
+with the originals (tests/test_cameras.py + test_render_paths.py check
+against the reference as oracle) rather than paraphrased. The ray-casting
+half of the module (pixels_to_rays and below) is a TPU-first redesign
+(vectorized xnp, no per-camera Python loops).
 """
 
 from __future__ import annotations

@@ -11,6 +11,18 @@ broadcast-compare (O(m*n) VPU work, zero gathers) rather than binary search,
 and inverse-CDF sampling uses the brute-force sorted interp. Parity target:
 MipNeRF360/internal/stepfun.py (searchsorted :30-53, sampling :153-263,
 dilation :99-128, interlevel envelope :62-86, distortion :266-276).
+
+PROVENANCE: this module implements the step-function math of multinerf
+(Apache-2.0, google-research/multinerf internal/stepfun.py), which the
+reference vendors unchanged. Bit-compatibility with the reference is a
+stated requirement (tests/test_reference_parity.py uses the reference as a
+numerical oracle), so where an expression is the unique float-exact
+formulation — the stratified-u construction in `sample` (u_max/max_jitter
+bounds), the linspace endpoints, the interval reflection in
+`sample_intervals` — it is deliberately kept term-for-term identical to the
+multinerf original rather than paraphrased into something that drifts by an
+ulp. Functions with latitude (searchsorted's counting form, the dilation
+mask, distortion's quadratic form) are restructured for TPU cost instead.
 """
 
 from __future__ import annotations
@@ -28,14 +40,21 @@ def searchsorted(a, v):
 
     Returns (idx_lo, idx_hi) with a[idx_lo] <= v < a[idx_hi]; out-of-range
     queries clamp both indices to the first/last position of a. `v` need not
-    be sorted. Broadcast-compare formulation (stepfun.py:30-53) — on TPU the
-    [..., m, n] mask is cheap VPU work and avoids serialized binary search.
+    be sorted. Same contract as the reference's broadcast-compare
+    searchsorted (stepfun.py:30-53) but computed by *counting*: since `a` is
+    sorted, the number of endpoints <= v IS the bracketing position, so one
+    popcount-style sum over the [..., n, m] mask replaces the reference's
+    two where/max/min reductions — same integer outputs, ~2x less VPU work,
+    still zero gathers (serialized binary search is the thing to avoid on
+    TPU).
     """
-    idx = jnp.arange(a.shape[-1])
-    ge = v[..., None, :] >= a[..., :, None]  # [..., m, n]
-    lo = jnp.max(jnp.where(ge, idx[:, None], idx[:1, None]), axis=-2)
-    hi = jnp.min(jnp.where(~ge, idx[:, None], idx[-1:, None]), axis=-2)
-    return lo, hi
+    n = a.shape[-1]
+    # count[..., j] = #{i : a[i] <= v[j]}, in [0, n].
+    count = jnp.sum((v[..., None, :] >= a[..., :, None]).astype(jnp.int32),
+                    axis=-2)
+    idx_lo = jnp.maximum(count - 1, 0)
+    idx_hi = jnp.minimum(count, n - 1)
+    return idx_lo, idx_hi
 
 
 def query(tq, t, y, outside_value=0):

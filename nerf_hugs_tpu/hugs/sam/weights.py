@@ -67,7 +67,51 @@ def _mlp3(sd, prefix, n_layers=3):
             for j in range(n_layers)}
 
 
-def convert_state_dict(sd: Dict[str, Any], config: SamConfig) -> Dict[str, Any]:
+# Official checkpoint keys that are intentionally NOT converted: the mask-
+# prompt downscaling conv stack. Neither the HuGS pipeline nor the AMG ever
+# feeds a mask prompt (generate_static_mask.py prompts with points only), so
+# the flax model always uses no_mask_embed for the dense embedding and omits
+# these layers entirely.
+_INTENTIONALLY_UNUSED_PREFIXES = ("prompt_encoder.mask_downscaling.",)
+
+
+class _TrackingDict(dict):
+    """Records which checkpoint keys the conversion actually read."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.read_keys = set()
+
+    def __getitem__(self, key):
+        self.read_keys.add(key)
+        return super().__getitem__(key)
+
+
+def convert_state_dict(sd: Dict[str, Any], config: SamConfig,
+                       strict: bool = True) -> Dict[str, Any]:
+    """Convert an official-layout state dict into flax variables.
+
+    strict=True additionally asserts every checkpoint key was consumed
+    (modulo the documented mask-downscaling allowlist) — a renamed or extra
+    key in a future official release fails loudly instead of silently
+    producing a half-initialized model.
+    """
+    sd = _TrackingDict(sd)
+    variables = _convert_state_dict(sd, config)
+    if strict:
+        unused = {
+            k for k in sd
+            if k not in sd.read_keys
+            and not k.startswith(_INTENTIONALLY_UNUSED_PREFIXES)}
+        if unused:
+            raise ValueError(
+                "official checkpoint keys not consumed by conversion: "
+                f"{sorted(unused)[:20]}")
+    return variables
+
+
+def _convert_state_dict(sd: Dict[str, Any], config: SamConfig
+                        ) -> Dict[str, Any]:
     params: Dict[str, Any] = {}
 
     # -- image encoder -----------------------------------------------------

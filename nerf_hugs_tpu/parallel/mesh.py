@@ -81,6 +81,30 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
         lambda x: jax.device_put(x, sharding), batch)
 
 
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2,
+                       axis_name: str = "data"):
+    """Yield sharded batches `size` steps ahead of consumption.
+
+    device_put is asynchronous, so sharding the next batch while the current
+    train step runs overlaps H2D transfer with compute — the SPMD
+    counterpart of the reference's flax.jax_utils.prefetch_to_device
+    (MipNeRF360/train.py:127, queue depth 3 there; the host-side dataset
+    thread already buffers, so 2 device-side slots suffice)."""
+    import collections
+    import itertools
+
+    queue = collections.deque()
+
+    def enqueue(n):
+        for batch in itertools.islice(iterator, n):
+            queue.append(shard_batch(batch, mesh, axis_name))
+
+    enqueue(size)
+    while queue:
+        yield queue.popleft()
+        enqueue(1)
+
+
 def replicate(tree, mesh: Mesh):
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

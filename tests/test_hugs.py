@@ -147,102 +147,20 @@ def test_sam_amg_pipeline(tiny_sam):
 
 
 def test_weight_conversion_structure():
-    """A synthetic torch-layout state dict converts into exactly the flax
-    init structure (shapes included)."""
-    import torch
+    """A state dict with the exact official key schema converts into exactly
+    the flax init structure (shapes included), and every official key is
+    consumed (strict mode) modulo the documented mask-downscaling allowlist."""
+    import jax
 
     from nerf_hugs_tpu.hugs.sam import modeling, weights
     from nerf_hugs_tpu.hugs.sam.predictor import build_sam
+    from tests.sam_official_schema import make_official_sam_state_dict
 
     config = modeling.make_sam_config("vit_t", image_size=64, window_size=2)
     sam, variables = build_sam("vit_t", image_size=64, window_size=2)
 
-    # Build a torch-style state dict with the official key layout.
-    sd = {}
-    dim, depth, heads = (config.encoder_embed_dim, config.encoder_depth,
-                         config.encoder_num_heads)
-    head_dim = dim // heads
-    grid = config.image_size // config.patch_size
-    t = lambda *shape: torch.zeros(shape)
-    sd["image_encoder.patch_embed.proj.weight"] = t(dim, 3, 16, 16)
-    sd["image_encoder.patch_embed.proj.bias"] = t(dim)
-    sd["image_encoder.pos_embed"] = t(1, grid, grid, dim)
-    for i in range(depth):
-        p = f"image_encoder.blocks.{i}"
-        sd[f"{p}.norm1.weight"] = t(dim); sd[f"{p}.norm1.bias"] = t(dim)
-        sd[f"{p}.norm2.weight"] = t(dim); sd[f"{p}.norm2.bias"] = t(dim)
-        sd[f"{p}.attn.qkv.weight"] = t(dim * 3, dim)
-        sd[f"{p}.attn.qkv.bias"] = t(dim * 3)
-        sd[f"{p}.attn.proj.weight"] = t(dim, dim)
-        sd[f"{p}.attn.proj.bias"] = t(dim)
-        size = (config.window_size if i not in
-                config.encoder_global_attn_indexes else grid)
-        sd[f"{p}.attn.rel_pos_h"] = t(2 * size - 1, head_dim)
-        sd[f"{p}.attn.rel_pos_w"] = t(2 * size - 1, head_dim)
-        sd[f"{p}.mlp.lin1.weight"] = t(dim * 4, dim)
-        sd[f"{p}.mlp.lin1.bias"] = t(dim * 4)
-        sd[f"{p}.mlp.lin2.weight"] = t(dim, dim * 4)
-        sd[f"{p}.mlp.lin2.bias"] = t(dim)
-    c = config.prompt_embed_dim
-    sd["image_encoder.neck.0.weight"] = t(c, dim, 1, 1)
-    sd["image_encoder.neck.1.weight"] = t(c)
-    sd["image_encoder.neck.1.bias"] = t(c)
-    sd["image_encoder.neck.2.weight"] = t(c, c, 3, 3)
-    sd["image_encoder.neck.3.weight"] = t(c)
-    sd["image_encoder.neck.3.bias"] = t(c)
-    sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = \
-        t(2, c // 2)
-    for i in range(4):
-        sd[f"prompt_encoder.point_embeddings.{i}.weight"] = t(1, c)
-    sd["prompt_encoder.not_a_point_embed.weight"] = t(1, c)
-    sd["prompt_encoder.no_mask_embed.weight"] = t(1, c)
-    md = "mask_decoder"
-    for i in range(2):
-        p = f"{md}.transformer.layers.{i}"
-        for attn, rate in [("self_attn", 1), ("cross_attn_token_to_image", 2),
-                           ("cross_attn_image_to_token", 2)]:
-            inner = c // rate
-            for proj, (o, in_d) in {"q_proj": (inner, c), "k_proj": (inner, c),
-                                    "v_proj": (inner, c),
-                                    "out_proj": (c, inner)}.items():
-                sd[f"{p}.{attn}.{proj}.weight"] = t(o, in_d)
-                sd[f"{p}.{attn}.{proj}.bias"] = t(o)
-        for n in ["norm1", "norm2", "norm3", "norm4"]:
-            sd[f"{p}.{n}.weight"] = t(c); sd[f"{p}.{n}.bias"] = t(c)
-        sd[f"{p}.mlp.lin1.weight"] = t(2048, c)
-        sd[f"{p}.mlp.lin1.bias"] = t(2048)
-        sd[f"{p}.mlp.lin2.weight"] = t(c, 2048)
-        sd[f"{p}.mlp.lin2.bias"] = t(c)
-    inner = c // 2
-    for proj, (o, in_d) in {"q_proj": (inner, c), "k_proj": (inner, c),
-                            "v_proj": (inner, c),
-                            "out_proj": (c, inner)}.items():
-        sd[f"{md}.transformer.final_attn_token_to_image.{proj}.weight"] = \
-            t(o, in_d)
-        sd[f"{md}.transformer.final_attn_token_to_image.{proj}.bias"] = t(o)
-    sd[f"{md}.transformer.norm_final_attn.weight"] = t(c)
-    sd[f"{md}.transformer.norm_final_attn.bias"] = t(c)
-    sd[f"{md}.iou_token.weight"] = t(1, c)
-    sd[f"{md}.mask_tokens.weight"] = t(4, c)
-    sd[f"{md}.output_upscaling.0.weight"] = t(c, c // 4, 2, 2)
-    sd[f"{md}.output_upscaling.0.bias"] = t(c // 4)
-    sd[f"{md}.output_upscaling.1.weight"] = t(c // 4)
-    sd[f"{md}.output_upscaling.1.bias"] = t(c // 4)
-    sd[f"{md}.output_upscaling.3.weight"] = t(c // 4, c // 8, 2, 2)
-    sd[f"{md}.output_upscaling.3.bias"] = t(c // 8)
-    for i in range(4):
-        p = f"{md}.output_hypernetworks_mlps.{i}"
-        sd[f"{p}.layers.0.weight"] = t(c, c); sd[f"{p}.layers.0.bias"] = t(c)
-        sd[f"{p}.layers.1.weight"] = t(c, c); sd[f"{p}.layers.1.bias"] = t(c)
-        sd[f"{p}.layers.2.weight"] = t(c // 8, c)
-        sd[f"{p}.layers.2.bias"] = t(c // 8)
-    p = f"{md}.iou_prediction_head"
-    sd[f"{p}.layers.0.weight"] = t(c, c); sd[f"{p}.layers.0.bias"] = t(c)
-    sd[f"{p}.layers.1.weight"] = t(c, c); sd[f"{p}.layers.1.bias"] = t(c)
-    sd[f"{p}.layers.2.weight"] = t(4, c); sd[f"{p}.layers.2.bias"] = t(4)
-
-    converted = weights.convert_state_dict(
-        {k: v.numpy() for k, v in sd.items()}, config)
+    sd = make_official_sam_state_dict(config)
+    converted = weights.convert_state_dict(sd, config)
 
     want_shapes = jax.tree_util.tree_map(lambda x: x.shape, variables)
     got_shapes = jax.tree_util.tree_map(lambda x: x.shape, converted)
@@ -257,6 +175,14 @@ def test_weight_conversion_structure():
     mismatched = {k: (want_map[k], got_map[k]) for k in want_map
                   if want_map[k] != got_map[k]}
     assert not mismatched, f"shape mismatches: {mismatched}"
+
+    # Strict mode: an unexpected official key must fail loudly.
+    import numpy as np
+    import pytest
+    sd_extra = dict(sd)
+    sd_extra["image_encoder.bogus.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="bogus"):
+        weights.convert_state_dict(sd_extra, config)
 
 
 def test_generate_static_mask_pipeline(tmp_path):

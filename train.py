@@ -169,7 +169,11 @@ def main(argv=None):
         profile_range = os.environ.get("NERF_HUGS_PROFILE")
         if profile_range:
             prof_start, prof_stop = map(int, profile_range.split(","))
-        for step, batch in zip(range(init_step, num_steps + 1), dataset):
+        # Device-side prefetch: batches are sharded (async device_put) ahead
+        # of consumption, overlapping H2D with the train step (the
+        # reference's flax.jax_utils.prefetch_to_device, train.py:127).
+        prefetched = mesh_lib.prefetch_to_device(dataset, mesh, size=2)
+        for step, batch in zip(range(init_step, num_steps + 1), prefetched):
             if profile_range and step == prof_start:
                 jax.profiler.start_trace(
                     os.path.join(config.checkpoint_dir, "profile"))
@@ -178,7 +182,6 @@ def main(argv=None):
             if reset_timer:
                 train_start_time = time.time()
                 reset_timer = False
-            batch = mesh_lib.shard_batch(batch, mesh)
             train_frac = jnp.clip((step - 1) / (num_steps - 1), 0, 1)
             state, stats, rngs = train_step(rngs, state, batch, train_frac,
                                             inlier_thresholds)
