@@ -80,3 +80,53 @@ def convert_point_mlp(sd: Dict[str, Any], net_depth: int,
         params[f"Dense_{idx}"] = _dense(sd["mlp_uncertainty.weight"],
                                         sd["mlp_uncertainty.bias"])
     return params
+
+
+def convert_nerf_model_state_dict(sd: Dict[str, Any], config
+                                  ) -> Dict[str, Any]:
+    """Full reference vanilla-NeRF Model state dict -> our VanillaNerfModel
+    variables (nerf.py:119-260: field.coarse/field.fine MLPs, optional
+    appearance/transient embeddings, optional hanerf ImplicitMask)."""
+    from nerf_hugs_tpu.configs.config import MLPConfig
+    nc = config.nerfacto
+    mlp_defaults = MLPConfig()  # vanilla.py builds its MLPConfig with
+    # defaults for the viewdir/transient branch depths (nerf.py defaults).
+    params: Dict[str, Any] = {}
+    for name in ("coarse", "fine"):
+        params[name] = convert_point_mlp(
+            sd, nc.net_depth, mlp_defaults.net_depth_viewdirs,
+            transient=(config.transient_type == "nerfw" and name == "fine"),
+            net_depth_transient=mlp_defaults.net_depth_transient,
+            prefix=f"field.{name}.")
+    if "embedding_appearance.weight" in sd:
+        params["appearance_embedding"] = {
+            "embedding": np.asarray(
+                sd["embedding_appearance.weight"]).astype(np.float32)}
+    if "embedding_transient.weight" in sd:
+        params["transient_embedding"] = {
+            "embedding": np.asarray(
+                sd["embedding_transient.weight"]).astype(np.float32)}
+    if "implicit_mask.mlp_base.0.weight" in sd:
+        # Sequential [lin, relu]*depth + [lin, sigmoid]: Linears at 2j.
+        mask = {}
+        j = 0
+        while f"implicit_mask.mlp_base.{2 * j}.weight" in sd:
+            mask[f"Dense_{j}"] = _dense(
+                sd[f"implicit_mask.mlp_base.{2 * j}.weight"],
+                sd[f"implicit_mask.mlp_base.{2 * j}.bias"])
+            j += 1
+        params["implicit_mask"] = mask
+    return {"params": params}
+
+
+def load_torch_nerf_checkpoint(path: str, config):
+    """Load a released vanilla-NeRF snapshot .pth (returns variables, step)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
+    step = 0
+    if isinstance(ckpt, dict) and "state" in ckpt:
+        step = int(ckpt["state"].get("global_step",
+                                     ckpt["state"].get("step", 0)))
+    return convert_nerf_model_state_dict(sd, config), step

@@ -1,12 +1,20 @@
 """Multiresolution hash-grid encoding (instant-ngp) in JAX for TPU.
 
 The TPU-native replacement for tiny-cuda-nn's HashGrid (reference:
-nerfacto/models/nerfacto.py:716-734, SURVEY.md N1). Semantics follow the
-instant-ngp paper: L levels with resolutions N_l = floor(base * g^l),
-g = exp((ln max - ln base)/(L-1)) (nerfacto.py:713); per level, dense
-linear indexing while (N_l+1)^3 fits the table, else the spatial xor-hash
-(primes 1 / 2654435761 / 805459861) modulo table size; trilinear
-interpolation of the 8 corner features; features concatenated over levels.
+nerfacto/models/nerfacto.py:716-734, SURVEY.md N1). Semantics are
+tcnn-EXACT (grid.h), not the instant-ngp paper's idealization — the
+reference runs tcnn, and released checkpoints embed these exact choices:
+  * scale_l = base * g^l - 1,  N_l = ceil(scale_l) + 1,
+    g = exp((ln max - ln base)/(L-1)) (nerfacto.py:713);
+  * grid coordinate = x * scale_l + 0.5 (half-cell offset), trilinear
+    corner weights from its fractional part;
+  * per-level COMPACT tables: min(N_l^d, 2^log2) rows rounded up to a
+    multiple of 8; dense linear indexing (stride N_l^dim, wrap mod size)
+    while N_l^d fits the cap, else the spatial xor-hash
+    (primes 1 / 2654435761 / 805459861) masked to 2^log2;
+  * features concatenated over levels.
+tools/convert_reference_checkpoint.py maps released tcnn checkpoints onto
+this layout level-by-level.
 
 Design driven by the measured v5e cost model (docs/tpu_gather_cost_model.md):
 
@@ -62,13 +70,33 @@ from nerf_hugs_tpu.ops import hashgrid_bwd
 _PRIMES = (1, 2654435761, 805459861)
 
 
+def level_scales(num_levels: int, base_res: int, max_res: int) -> np.ndarray:
+    """tcnn's per-level grid scale: scale_l = base * growth^l - 1.
+
+    tiny-cuda-nn/include/tiny-cuda-nn/encodings/grid.h `grid_scale`:
+    exp2f(level * log2_per_level_scale) * base_resolution - 1.0f. Grid
+    coordinates are x * scale + 0.5 (see `_dim_terms`), NOT the instant-ngp
+    paper's x * N_l — the reference runs tcnn's code, so tcnn's actual
+    formulation is the parity target.
+    """
+    if num_levels == 1:
+        growth = 1.0
+    else:
+        growth = np.exp((np.log(max_res) - np.log(base_res))
+                        / (num_levels - 1))
+    return (base_res * growth ** np.arange(num_levels) - 1.0).astype(
+        np.float32)
+
+
 def level_resolutions(num_levels: int, base_res: int, max_res: int
                       ) -> np.ndarray:
-    """N_l = floor(base * growth^l) with tcnn's growth factor."""
-    if num_levels == 1:
-        return np.array([base_res], np.int64)
-    growth = np.exp((np.log(max_res) - np.log(base_res)) / (num_levels - 1))
-    return np.floor(base_res * growth ** np.arange(num_levels)).astype(np.int64)
+    """tcnn's N_l = ceil(scale_l) + 1 (grid.h `grid_resolution`).
+
+    One higher than the instant-ngp paper's floor(base * growth^l) at
+    almost every non-integer level — e.g. max_res 8192 really reaches 8192
+    here where the paper formula tops out at 8191."""
+    scales = level_scales(num_levels, base_res, max_res)
+    return (np.ceil(scales.astype(np.float64)) + 1).astype(np.int64)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,11 +113,26 @@ class HashGridSpec:
 
     @property
     def table_size(self) -> int:
+        """Hashed-level table size (the 2^log2 cap)."""
         return 1 << self.log2_hashmap_size
+
+    @property
+    def scales(self) -> np.ndarray:
+        return level_scales(self.num_levels, self.base_res, self.max_res)
 
     @property
     def resolutions(self) -> np.ndarray:
         return level_resolutions(self.num_levels, self.base_res, self.max_res)
+
+    @property
+    def level_sizes(self) -> np.ndarray:
+        """Per-level table rows, tcnn-compact: min(N_l^d, 2^log2) rounded up
+        to a multiple of 8 (grid.h m_hashmap_offsets_table). Dense low-res
+        levels get N_l^d rows, not a full 2^log2 table — the released
+        checkpoints' layout, and smaller gather operands on TPU."""
+        dense_size = self.resolutions.astype(np.int64) ** self.num_dims
+        sizes = np.minimum(dense_size, self.table_size)
+        return -(-sizes // 8) * 8
 
     @property
     def output_dim(self) -> int:
@@ -97,7 +140,7 @@ class HashGridSpec:
 
     @property
     def num_rows(self) -> int:
-        return self.num_levels * self.table_size
+        return int(self.level_sizes.sum())
 
     def corner_offsets(self) -> np.ndarray:
         """[2^d, d] binary corner offsets."""
@@ -106,8 +149,11 @@ class HashGridSpec:
                         axis=-1).reshape(-1, d)
 
     def dense_level(self) -> np.ndarray:
-        """Per level: use dense indexing if (N+1)^d entries fit the table."""
-        return (self.resolutions + 1) ** self.num_dims <= self.table_size
+        """Per level: dense linear indexing while N_l^d entries fit the
+        hashmap cap, else the spatial hash (tcnn grid_index: hash iff
+        hashmap_size < stride after the dense loop)."""
+        return (self.resolutions.astype(np.int64) ** self.num_dims
+                <= self.table_size)
 
 
 def _as_level_tuple(table, spec: HashGridSpec):
@@ -120,12 +166,17 @@ def _as_level_tuple(table, spec: HashGridSpec):
     where XLA bitcasts it for free (tools/bench_gather.py). Separate
     per-level arrays also gather ~1.7x faster than slices of one [L, T, F]
     array (measured). Accepts a tuple of per-level [T*F] or [T, F] arrays,
-    or one flat/[L*T, F]/[L, T, F] array for convenience."""
+    or one flat concatenation of the per-level tables (tcnn's params
+    layout) for convenience."""
     if isinstance(table, (tuple, list)):
         return tuple(t.reshape(-1) for t in table)
-    t2 = table.reshape(spec.num_levels,
-                       spec.table_size * spec.features_per_level)
-    return tuple(t2[l] for l in range(spec.num_levels))
+    flat = table.reshape(-1)
+    f = spec.features_per_level
+    sizes = spec.level_sizes * f
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    assert flat.shape[0] == offsets[-1], (flat.shape, offsets[-1])
+    return tuple(flat[offsets[l]:offsets[l + 1]]
+                 for l in range(spec.num_levels))
 
 
 def _dim_terms(spec: HashGridSpec, positions: jnp.ndarray, levels):
@@ -142,15 +193,20 @@ def _dim_terms(spec: HashGridSpec, positions: jnp.ndarray, levels):
     d_dims = spec.num_dims
     res_i = spec.resolutions[levels]
     dense = bool(spec.dense_level()[levels[0]])
-    res = jnp.asarray(res_i, jnp.float32)[:, None]                 # [L', 1]
-    x = positions.T[:, None, :] * res[None]                        # [d, L', n]
+    scale = jnp.asarray(spec.scales[levels])[:, None]              # [L', 1]
+    # tcnn grid coordinate: fma(scale, x, 0.5) then split into cell + frac
+    # (grid.h pos_fract) — the half-cell offset is part of the released-
+    # checkpoint semantics.
+    x = positions.T[:, None, :] * scale[None] + 0.5                # [d, L', n]
     x0f = jnp.floor(x)
     frac = x - x0f
     x0 = x0f.astype(jnp.uint32)
     terms, wpair = [], []
     for d in range(d_dims):
         if dense:
-            stride = jnp.asarray(((res_i + 1) ** d).astype(np.int64)
+            # tcnn grid_index dense stride: N_l^dim (uint32 wrap-free: the
+            # largest dense level has N_l^d <= 2^log2 <= 2^24).
+            stride = jnp.asarray((res_i ** d).astype(np.int64)
                                  % (1 << 32)).astype(jnp.uint32)[:, None]
             t0 = x0[d] * stride
             t1 = t0 + stride
@@ -163,11 +219,18 @@ def _dim_terms(spec: HashGridSpec, positions: jnp.ndarray, levels):
     return terms, wpair
 
 
-def _corner_combine(spec: HashGridSpec, terms, wpair, dense: bool):
-    """Yield (idx [L', n] uint32 in [0, T), w [L', n]) per corner."""
+def _corner_combine(spec: HashGridSpec, terms, wpair, dense: bool,
+                    levels=None):
+    """Yield (idx [L', n] uint32 in [0, size_l), w [L', n]) per corner."""
     offsets = spec.corner_offsets()
     d_dims = spec.num_dims
     mask = jnp.uint32(spec.table_size - 1)
+    if dense:
+        # tcnn wraps the dense index modulo the level size (grid_index's
+        # final `% hashmap_size`): only the x==1.0 edge corner can exceed
+        # it, and by < size, so one conditional subtract IS the modulo.
+        sizes = jnp.asarray(spec.level_sizes[levels].astype(np.int64)
+                            % (1 << 32)).astype(jnp.uint32)[:, None]
     # Shared xy partial products (saves one multiply per corner for d=3).
     if d_dims >= 2:
         wxy = {(i, j): wpair[0][i] * wpair[1][j]
@@ -177,7 +240,9 @@ def _corner_combine(spec: HashGridSpec, terms, wpair, dense: bool):
         for d in range(1, d_dims):
             t = terms[d][c[d]]
             idx = (idx + t) if dense else (idx ^ t)
-        if not dense:
+        if dense:
+            idx = jnp.where(idx >= sizes, idx - sizes, idx)
+        else:
             idx = idx & mask
         if d_dims == 1:
             w = wpair[0][c[0]]
@@ -191,11 +256,11 @@ def _corner_combine(spec: HashGridSpec, terms, wpair, dense: bool):
 
 
 def _corner_rows_level(spec: HashGridSpec, positions: jnp.ndarray, lvl: int):
-    """Single-level corner rows/weights: ([2^d, n] int32 in [0,T), [2^d, n])."""
+    """Single-level corner rows/weights: ([2^d, n] int32 in [0,T_l), [2^d, n])."""
     terms, wpair = _dim_terms(spec, positions, [lvl])
     dense = bool(spec.dense_level()[lvl])
     rows, weights = [], []
-    for idx, w in _corner_combine(spec, terms, wpair, dense):
+    for idx, w in _corner_combine(spec, terms, wpair, dense, levels=[lvl]):
         rows.append(idx[0].astype(jnp.int32))
         weights.append(w[0])
     return jnp.stack(rows), jnp.stack(weights)
@@ -234,7 +299,7 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
         # gather output (profiled 210 ms/step at base shapes). The strided
         # vals[:, j] reads fuse into the elementwise chain; only the final
         # stack materializes a rank-2 array per level.
-        tab_l = tab[lvl].reshape(spec.table_size, f)  # free bitcast view
+        tab_l = tab[lvl].reshape(int(spec.level_sizes[lvl]), f)  # bitcast view
         accs = [jnp.zeros((n,)) for _ in range(f)]
         for c in range(num_corners):
             vals = jnp.take(tab_l, rows[c], axis=0)               # [n, F]
@@ -301,9 +366,15 @@ def _encode_custom_bwd(spec, interpret, residuals, g):
         vals = tuple(
             (weights * gf[:, lvl * f + j][None, :]).reshape(-1)
             for j in range(f))
-        grads.append(hashgrid_bwd.block_segment_sum(
-            keys, vals, spec.table_size,
-            val_dtype=spec.bwd_dtype, interpret=interpret))
+        # The block kernel grids over fixed-size row blocks; tcnn-compact
+        # level sizes are multiples of 8, not of the block size — pad the
+        # kernel's table and slice the (row-major flat) grad back down.
+        size_l = int(spec.level_sizes[lvl])
+        padded = -(-size_l // hashgrid_bwd.BLOCK_R) * hashgrid_bwd.BLOCK_R
+        grad = hashgrid_bwd.block_segment_sum(
+            keys, vals, padded,
+            val_dtype=spec.bwd_dtype, interpret=interpret)
+        grads.append(grad[:size_l * f] if padded != size_l else grad)
     grad_tab = tuple(g.astype(dtype_probe.dtype) for g in grads)
     return grad_tab, jnp.zeros_like(positions)
 
@@ -316,7 +387,8 @@ def hashgrid_encode(table: jnp.ndarray, positions: jnp.ndarray,
                     use_custom_vjp: bool = False) -> jnp.ndarray:
     """Encode positions in [0, 1]^d -> [..., L*F] features.
 
-    table: [L, T, F] (or [L*T, F] rows / flat [L*T*F] — same memory).
+    table: tuple of per-level flat [T_l*F] arrays, or one flat
+    concatenation in tcnn params order.
     With `use_custom_vjp` the sorted-scatter Pallas backward replaces XLA's
     scatter-add transpose (see module docstring); positions then receive a
     zero cotangent. Off-TPU (the CPU test mesh) the plain XLA path is used
@@ -334,20 +406,22 @@ def hashgrid_encode(table: jnp.ndarray, positions: jnp.ndarray,
 
 class HashGridEncoding(nn.Module):
     """Flax wrapper owning the table parameter (uniform(-1e-4, 1e-4) init,
-    matching tcnn's default). Stores the table as [L, T, F] — per-level
-    row-gather is the fast layout on TPU (docs/tpu_gather_cost_model.md)."""
+    matching tcnn's default). Stores tcnn-compact per-level flat tables —
+    per-level row-gather is the fast layout on TPU
+    (docs/tpu_gather_cost_model.md)."""
     spec: HashGridSpec
     param_dtype: jnp.dtype = jnp.float32
     use_custom_vjp: bool = True
 
     @nn.compact
     def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
+        sizes = self.spec.level_sizes
         tables = tuple(
             self.param(
                 f"table_{l}",
                 lambda key, shape: jax.random.uniform(
                     key, shape, self.param_dtype, -1e-4, 1e-4),
-                (self.spec.table_size * self.spec.features_per_level,))
+                (int(sizes[l]) * self.spec.features_per_level,))
             for l in range(self.spec.num_levels))
         return hashgrid_encode(tables, positions, self.spec,
                                use_custom_vjp=self.use_custom_vjp)

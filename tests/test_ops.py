@@ -1,4 +1,11 @@
-"""Tests for TPU ops: hash grid encoding and spherical harmonics."""
+"""Tests for TPU ops: hash grid encoding and spherical harmonics.
+
+The hash grid is locked against a pure-numpy reimplementation of
+tiny-cuda-nn's grid.h (the component the reference actually runs,
+nerfacto/models/nerfacto.py:716-734): tcnn resolutions ceil(scale)+1,
+half-cell coordinate offset, compact per-level tables, dense strides N^d
+with modulo wrap, xor hash.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -9,15 +16,21 @@ from nerf_hugs_tpu.ops import sh
 from nerf_hugs_tpu.ops.hashgrid import (HashGridEncoding, HashGridSpec,
                                         hashgrid_encode, level_resolutions)
 
+_PRIMES = (1, 2654435761, 805459861)
 
-def test_level_resolutions_growth():
+
+def test_level_resolutions_tcnn_formula():
     res = level_resolutions(16, 16, 2048)
     assert res[0] == 16
     assert res[-1] == 2048
     assert np.all(np.diff(res) >= 0)
-    # Growth matches tcnn's formula (nerfacto.py:713).
+    # tcnn grid.h: scale = base * g^l - 1 (float32), res = ceil(scale) + 1 —
+    # one above the instant-ngp paper's floor(base * g^l) at non-integer
+    # levels.
     g = np.exp((np.log(2048) - np.log(16)) / 15)
-    np.testing.assert_allclose(res, np.floor(16 * g ** np.arange(16)))
+    scales = np.float32(16 * g ** np.arange(16) - 1)
+    np.testing.assert_array_equal(res, np.ceil(scales.astype(np.float64)) + 1)
+    assert res[5] == np.floor(16 * g ** 5) + 1  # differs from paper formula
 
 
 def make_spec(**kw):
@@ -27,11 +40,82 @@ def make_spec(**kw):
     return HashGridSpec(**defaults)
 
 
+def rand_table(spec, key):
+    """Tuple of per-level flat [T_l*F] tables (the canonical layout)."""
+    keys = jax.random.split(key, spec.num_levels)
+    return tuple(
+        jax.random.normal(keys[l],
+                          (int(spec.level_sizes[l])
+                           * spec.features_per_level,))
+        for l in range(spec.num_levels))
+
+
+def numpy_tcnn_encode(table, pos, spec):
+    """Reference: tiny-cuda-nn grid.h semantics in plain numpy."""
+    pos = np.asarray(pos, np.float32)
+    n = pos.shape[0]
+    d = spec.num_dims
+    out = np.zeros((n, spec.output_dim), np.float32)
+    for lvl in range(spec.num_levels):
+        scale = np.float32(spec.scales[lvl])
+        res = int(spec.resolutions[lvl])
+        size = int(spec.level_sizes[lvl])
+        dense = int(res) ** d <= spec.table_size
+        tab = np.asarray(table[lvl]).reshape(size, spec.features_per_level)
+        x = pos * scale + np.float32(0.5)
+        x0 = np.floor(x).astype(np.int64)
+        frac = x - x0
+        for corner in range(1 << d):
+            w = np.ones((n,), np.float32)
+            idx = np.zeros((n,), np.int64)
+            for dim in range(d):
+                bit = (corner >> (d - 1 - dim)) & 1  # match corner_offsets
+                c = x0[:, dim] + bit
+                w = w * (frac[:, dim] if bit else 1 - frac[:, dim])
+                if dense:
+                    idx = idx + c * (res ** dim)
+                else:
+                    idx = idx ^ (c.astype(np.uint64)
+                                 * np.uint64(_PRIMES[dim % 3])).astype(
+                                     np.int64)
+            if dense:
+                idx = idx % size
+            else:
+                idx = (idx.astype(np.uint64)
+                       & np.uint64(spec.table_size - 1)).astype(np.int64)
+            out[:, lvl * spec.features_per_level:
+                (lvl + 1) * spec.features_per_level] += w[:, None] * tab[idx]
+    return out
+
+
+@pytest.mark.parametrize("num_dims", [2, 3])
+def test_hashgrid_matches_numpy_tcnn_reference(num_dims):
+    spec = make_spec(num_dims=num_dims)
+    table = rand_table(spec, jax.random.PRNGKey(0))
+    # Include exact 0 and 1 coordinates: the x==1 edge exercises the
+    # dense-index modulo wrap.
+    pos = np.concatenate([
+        np.random.RandomState(1).rand(200, num_dims).astype(np.float32),
+        np.zeros((1, num_dims), np.float32),
+        np.ones((1, num_dims), np.float32)])
+    got = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
+    want = numpy_tcnn_encode(table, pos, spec)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_hashgrid_level_sizes_tcnn_compact():
+    spec = make_spec()  # base 4, max 32, L=4, 2^10 cap
+    # scales 3,7,15,31 -> res 4,8,16,32; res^3 = 64,512,4096,32768
+    np.testing.assert_array_equal(spec.resolutions, [4, 8, 16, 32])
+    np.testing.assert_array_equal(spec.level_sizes, [64, 512, 1024, 1024])
+    np.testing.assert_array_equal(spec.dense_level(), [True, True, False,
+                                                       False])
+    assert spec.num_rows == 64 + 512 + 1024 + 1024
+
+
 def test_hashgrid_shapes_and_determinism():
     spec = make_spec()
-    rng = jax.random.PRNGKey(0)
-    table = jax.random.normal(
-        rng, (spec.num_levels * spec.table_size * spec.features_per_level,))
+    table = rand_table(spec, jax.random.PRNGKey(0))
     pos = jax.random.uniform(jax.random.PRNGKey(1), (37, 3))
     out = hashgrid_encode(table, pos, spec)
     assert out.shape == (37, spec.output_dim)
@@ -44,20 +128,23 @@ def test_hashgrid_shapes_and_determinism():
 
 
 def test_hashgrid_interpolation_is_trilinear():
-    # With a dense level, encoding at a grid vertex returns that vertex's
-    # feature exactly; midway between two vertices returns their average.
-    spec = make_spec(num_levels=1, base_res=4, max_res=4, log2_hashmap_size=10)
+    # Single dense res-4 level (scale 3): grid coord = 3x + 0.5, so vertex
+    # k sits at position (k - 0.5) / 3. Encoding at a vertex returns that
+    # vertex's feature; midway between two returns their average.
+    spec = make_spec(num_levels=1, base_res=4, max_res=4,
+                     log2_hashmap_size=10)
+    assert int(spec.level_sizes[0]) == 64
     table2d = jax.random.normal(jax.random.PRNGKey(0),
-                                (spec.table_size, spec.features_per_level))
-    table = table2d.reshape(-1)
-    # Vertex (1, 2, 3) of the res-4 grid -> position (1/4, 2/4, 3/4).
-    pos = jnp.array([[0.25, 0.5, 0.75]])
-    idx = 1 + 2 * 5 + 3 * 25  # x + y*(res+1) + z*(res+1)^2
+                                (64, spec.features_per_level))
+    table = (table2d.reshape(-1),)
+    vertex = lambda k: (k - 0.5) / 3.0
+    pos = jnp.array([[vertex(1), vertex(2), vertex(3)]])
+    idx = 1 + 2 * 4 + 3 * 16  # x + y*res + z*res^2 (tcnn dense strides)
     got = hashgrid_encode(table, pos, spec)
     np.testing.assert_allclose(np.asarray(got)[0], np.asarray(table2d[idx]),
                                atol=1e-5)
     # Midpoint between vertices (1,2,3) and (2,2,3).
-    pos_mid = jnp.array([[0.375, 0.5, 0.75]])
+    pos_mid = jnp.array([[vertex(1.5), vertex(2), vertex(3)]])
     got_mid = hashgrid_encode(table, pos_mid, spec)
     want = 0.5 * (np.asarray(table2d[idx]) + np.asarray(table2d[idx + 1]))
     np.testing.assert_allclose(np.asarray(got_mid)[0], want, atol=1e-5)
@@ -65,9 +152,7 @@ def test_hashgrid_interpolation_is_trilinear():
 
 def test_hashgrid_continuity():
     spec = make_spec()
-    table = jax.random.normal(
-        jax.random.PRNGKey(0),
-        (spec.num_levels * spec.table_size * spec.features_per_level,))
+    table = rand_table(spec, jax.random.PRNGKey(0))
     pos = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=0.1,
                              maxval=0.9)
     eps = 1e-5
@@ -79,16 +164,16 @@ def test_hashgrid_continuity():
 def test_hashgrid_gradient_scatter():
     # d loss / d table is nonzero exactly at touched entries.
     spec = make_spec(num_levels=2)
-    table = jnp.zeros(
-        (spec.num_levels * spec.table_size * spec.features_per_level,))
+    flat = jnp.zeros((spec.num_rows * spec.features_per_level,))
     pos = jnp.array([[0.3, 0.6, 0.1]])
-    g = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, pos, spec)))(table)
+    g = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, pos, spec)))(flat)
     g2d = np.asarray(g).reshape(-1, spec.features_per_level)
     touched = int(np.sum(np.any(g2d != 0, axis=-1)))
     # 8 corners per level, possibly with hash collisions: 1 < touched <= 16.
     assert 1 <= touched <= 16
     # Weights per level sum to 1 => per-level grad feature sums to 1.
-    np.testing.assert_allclose(float(g2d[:spec.table_size, 0].sum()), 1.0,
+    lvl0_rows = int(spec.level_sizes[0])
+    np.testing.assert_allclose(float(g2d[:lvl0_rows, 0].sum()), 1.0,
                                rtol=1e-5)
 
 
@@ -99,18 +184,17 @@ def test_hashgrid_module_init():
     variables = mod.init(jax.random.PRNGKey(0), pos)
     params = variables["params"]
     assert set(params) == {f"table_{l}" for l in range(spec.num_levels)}
-    table = params["table_0"]
-    assert table.shape == (spec.table_size * spec.features_per_level,)
-    assert float(jnp.max(jnp.abs(table))) <= 1e-4  # tcnn-style uniform init
+    for l in range(spec.num_levels):
+        assert params[f"table_{l}"].shape == (
+            int(spec.level_sizes[l]) * spec.features_per_level,)
+    assert float(jnp.max(jnp.abs(params["table_0"]))) <= 1e-4  # tcnn init
     out = mod.apply(variables, pos)
     assert out.shape == (5, spec.output_dim)
 
 
 def test_hashgrid_2d():
     spec = make_spec(num_dims=2)
-    table = jax.random.normal(
-        jax.random.PRNGKey(0),
-        (spec.num_levels * spec.table_size * spec.features_per_level,))
+    table = rand_table(spec, jax.random.PRNGKey(0))
     pos = jax.random.uniform(jax.random.PRNGKey(1), (11, 2))
     out = hashgrid_encode(table, pos, spec)
     assert out.shape == (11, spec.output_dim)
@@ -184,53 +268,47 @@ def test_hashgrid_custom_vjp_matches_autodiff(num_dims):
     spec = HashGridSpec(num_levels=4, features_per_level=2,
                         log2_hashmap_size=10, base_res=4, max_res=32,
                         num_dims=num_dims, bwd_dtype="float32")
-    key = jax.random.PRNGKey(0)
-    table = jax.random.normal(key, (spec.num_levels, spec.table_size,
-                                    spec.features_per_level))
+    table = rand_table(spec, jax.random.PRNGKey(0))
     pos = jax.random.uniform(jax.random.PRNGKey(3), (129, num_dims))
     cot = jax.random.normal(jax.random.PRNGKey(4), (129, spec.output_dim))
-    from nerf_hugs_tpu.ops.hashgrid import _as_level_tuple, _encode_custom
-    tup = _as_level_tuple(table, spec)
+    from nerf_hugs_tpu.ops.hashgrid import _encode_custom
     out_plain = hashgrid_encode(table, pos, spec)
-    out_fast = _encode_custom(tup, pos, spec, True)
+    out_fast = _encode_custom(table, pos, spec, True)
     np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_fast))
     g1 = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, pos, spec) * cot))(
         table)
-    g2t = jax.grad(lambda t: jnp.sum(_encode_custom(t, pos, spec, True)
-                                     * cot))(tup)
-    g2 = jnp.stack(g2t).reshape(g1.shape)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
-                               rtol=1e-5, atol=1e-5)
+    g2 = jax.grad(lambda t: jnp.sum(_encode_custom(t, pos, spec, True)
+                                    * cot))(table)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_hashgrid_flat_table_roundtrip():
     spec = HashGridSpec(num_levels=2, features_per_level=2,
                         log2_hashmap_size=8, base_res=4, max_res=8)
-    table = jax.random.normal(jax.random.PRNGKey(0),
-                              (spec.num_levels, spec.table_size, 2))
+    tup = rand_table(spec, jax.random.PRNGKey(0))
+    flat = jnp.concatenate(tup)
     pos = jax.random.uniform(jax.random.PRNGKey(1), (33, 3))
     from nerf_hugs_tpu.ops.hashgrid import _as_level_tuple, _encode_custom
-    out3 = hashgrid_encode(table, pos, spec)
-    out1 = hashgrid_encode(table.reshape(-1), pos, spec)
-    np.testing.assert_array_equal(np.asarray(out3), np.asarray(out1))
+    out_t = hashgrid_encode(tup, pos, spec)
+    out_f = hashgrid_encode(flat, pos, spec)
+    np.testing.assert_array_equal(np.asarray(out_t), np.asarray(out_f))
     # Flat tables get flat gradients (autodiff through the normalization).
     g = jax.grad(lambda t: jnp.sum(
-        _encode_custom(_as_level_tuple(t, spec), pos, spec, True)))(
-        table.reshape(-1))
-    assert g.shape == (spec.num_levels * spec.table_size * 2,)
+        _encode_custom(_as_level_tuple(t, spec), pos, spec, True)))(flat)
+    assert g.shape == flat.shape
 
 
 def test_hashgrid_custom_vjp_recompute_path_matches_saved(monkeypatch):
-    # Above _RESIDUAL_BYTES_CAP_PER_CALL the backward recomputes rows/weights from
-    # positions instead of using saved residuals; both paths must produce
-    # identical gradients.
+    # Above _RESIDUAL_BYTES_CAP_PER_CALL the backward recomputes
+    # rows/weights from positions instead of using saved residuals; both
+    # paths must produce identical gradients.
     from nerf_hugs_tpu.ops import hashgrid as hg
     spec = HashGridSpec(num_levels=3, features_per_level=2,
                         log2_hashmap_size=10, base_res=4, max_res=16,
                         bwd_dtype="float32")
-    key = jax.random.PRNGKey(0)
-    table = jax.random.normal(key, (spec.num_levels, spec.table_size, 2))
-    tup = hg._as_level_tuple(table, spec)
+    tup = rand_table(spec, jax.random.PRNGKey(0))
     pos = jax.random.uniform(jax.random.PRNGKey(1), (97, 3))
     cot = jax.random.normal(jax.random.PRNGKey(2), (97, spec.output_dim))
     loss = lambda t: jnp.sum(hg._encode_custom(t, pos, spec, True) * cot)

@@ -1,15 +1,23 @@
 #!/usr/bin/env python
-"""Convert a released NeRF-HuGS (MipNeRF360-stack) checkpoint to this repo.
+"""Convert a released NeRF-HuGS checkpoint (either stack) to this repo.
 
-The reference saves flax.training.checkpoints msgpack TrainStates
-(MipNeRF360/train.py:232-236: params + optax state + step). Our
-MipNerf360Model's parameter pytree is identical to the reference's
-(tests/test_reference_model_parity.py), so conversion is just re-wrapping
-the params into our orbax layout:
+MipNeRF360 stack: flax msgpack TrainStates (MipNeRF360/train.py:232-236).
+Our MipNerf360Model's parameter pytree is identical to the reference's
+(tests/test_reference_model_parity.py), so conversion re-wraps the params
+into our orbax layout:
 
   python tools/convert_reference_checkpoint.py \\
       --reference_checkpoint /path/to/checkpoint_250000 \\
       --gin_configs configs/mipnerf360/kubric_1024_withmask.gin \\
+      --output_dir ./results/kubric_car
+
+nerfacto stack (pass the yaml --config): torch snapshot .pth files with
+tcnn grid params + torch Linears (models/nerfacto_import.py maps them onto
+our tcnn-exact hash grid + Dense layout):
+
+  python tools/convert_reference_checkpoint.py \\
+      --reference_checkpoint /path/to/ckpt_25000.pth \\
+      --config configs/nerfacto/kubric_nerfacto_base.yml \\
       --output_dir ./results/kubric_car
 
 After conversion, eval.py / render.py / train.py (resume) read the output
@@ -67,7 +75,17 @@ def main(argv=None):
         config = gin_parser.parse_gin_configs(args.gin_configs,
                                               args.gin_bindings)
 
-    params, step, _ = extract_reference_params(args.reference_checkpoint)
+    if config.model_type in ("nerfacto", "nerf") and \
+            args.reference_checkpoint.endswith((".pth", ".pt", ".ckpt")):
+        from nerf_hugs_tpu.models import nerfacto_import, torch_compat
+        if config.model_type == "nerfacto":
+            params, step = nerfacto_import.load_torch_nerfacto_checkpoint(
+                args.reference_checkpoint, config)
+        else:
+            params, step = torch_compat.load_torch_nerf_checkpoint(
+                args.reference_checkpoint, config)
+    else:
+        params, step, _ = extract_reference_params(args.reference_checkpoint)
     step = args.step if args.step is not None else step
 
     mesh = mesh_lib.make_mesh()

@@ -30,7 +30,7 @@ import numpy as np
 
 REF_NERFACTO = "/root/reference/nerfacto"
 
-BATCH = 1024
+BATCH = 512
 WARMUP = 500
 LR_DELAY_MULT = 0.01
 LR_FINAL_RATIO = 0.01  # lr_final = ratio * lr_init (reference: 1e-3 -> 1e-5

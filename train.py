@@ -247,8 +247,10 @@ def main(argv=None):
                     render_eval_fn, test_batch.rays, float(train_frac),
                     state.params, config, mesh)
                 if jax.process_index() == 0 and test_batch.rgb is not None:
+                    # Clip like eval.py: raw renderings can leave [0,1],
+                    # which would push SSIM above 1.
                     metrics = metric_harness(
-                        jnp.asarray(rendering["rgb"]),
+                        jnp.clip(jnp.asarray(rendering["rgb"]), 0, 1),
                         jnp.asarray(test_batch.rgb))
                     print(f"[{stage}] {step}: eval "
                           + " ".join(f"{k}={v:.4f}"
