@@ -70,6 +70,15 @@ from nerf_hugs_tpu.ops import hashgrid_bwd
 _PRIMES = (1, 2654435761, 805459861)
 
 
+def _pair_dense_enabled() -> bool:
+    """Measured-perf knob: NERF_HUGS_PAIR_DENSE=1 halves the dense-level
+    gather descriptor count via the augmented paired table (see
+    _encode_impl). Default off until the 16B-row gather rate is confirmed
+    on hardware (tools/bench_pair_gather.py)."""
+    import os
+    return os.environ.get("NERF_HUGS_PAIR_DENSE") == "1"
+
+
 def level_scales(num_levels: int, base_res: int, max_res: int) -> np.ndarray:
     """tcnn's per-level grid scale: scale_l = base * growth^l - 1.
 
@@ -301,10 +310,29 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
         # stack materializes a rank-2 array per level.
         tab_l = tab[lvl].reshape(int(spec.level_sizes[lvl]), f)  # bitcast view
         accs = [jnp.zeros((n,)) for _ in range(f)]
-        for c in range(num_corners):
-            vals = jnp.take(tab_l, rows[c], axis=0)               # [n, F]
-            for j in range(f):
-                accs[j] = accs[j] + weights[c] * vals[:, j]
+        dense = bool(spec.dense_level()[lvl])
+        if _pair_dense_enabled() and dense and spec.num_dims >= 2:
+            # Paired-corner fetch: on dense levels the x-neighbor corner is
+            # the NEXT table row (stride 1), so an augmented [T, 2F] table
+            # T2[i] = [T[i] | T[(i+1) % T]] fetches both x-corners with ONE
+            # descriptor — 2^(d-1) gathers/level instead of 2^d. Gather cost
+            # is per-descriptor until rows exceed ~64B
+            # (docs/tpu_gather_cost_model.md), so 16B rows ride ~free.
+            # corner_offsets orders dim 0 most-significant: corner c < half
+            # has x-offset 0 and its partner is c + half.
+            tab2 = jnp.concatenate([tab_l, jnp.roll(tab_l, -1, axis=0)],
+                                   axis=-1)                       # [T, 2F]
+            half = num_corners // 2
+            for c in range(half):
+                vals = jnp.take(tab2, rows[c], axis=0)            # [n, 2F]
+                for j in range(f):
+                    accs[j] = (accs[j] + weights[c] * vals[:, j]
+                               + weights[c + half] * vals[:, f + j])
+        else:
+            for c in range(num_corners):
+                vals = jnp.take(tab_l, rows[c], axis=0)           # [n, F]
+                for j in range(f):
+                    accs[j] = accs[j] + weights[c] * vals[:, j]
         outs.extend(accs)
     out = jnp.stack(outs, axis=-1)                     # [n, L*F]
     out = out.reshape(lead_shape + (spec.output_dim,))

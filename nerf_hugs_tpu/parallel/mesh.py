@@ -93,11 +93,22 @@ def prefetch_to_device(iterator, mesh: Mesh, size: int = 2,
     import collections
     import itertools
 
+    import os
+    # A/B toggle: NERF_HUGS_PREFETCH=0 degrades to synchronous per-step
+    # sharding (the round-2 behavior) for measuring the overlap win.
+    if os.environ.get("NERF_HUGS_PREFETCH") == "0":
+        size = 0
+
     queue = collections.deque()
 
     def enqueue(n):
         for batch in itertools.islice(iterator, n):
             queue.append(shard_batch(batch, mesh, axis_name))
+
+    if size == 0:
+        for batch in iterator:
+            yield shard_batch(batch, mesh, axis_name)
+        return
 
     enqueue(size)
     while queue:

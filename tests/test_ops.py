@@ -344,3 +344,20 @@ def test_block_segment_sum_packed_bf16_matches_scatter_add():
         vals2.astype(jnp.bfloat16).astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_hashgrid_pair_dense_matches_default(monkeypatch):
+    # NERF_HUGS_PAIR_DENSE=1 (paired-corner fetch on dense levels) must be
+    # numerically identical to the per-corner path — same adds, same order
+    # per feature, just fetched 2 corners per descriptor.
+    spec = make_spec()
+    table = rand_table(spec, jax.random.PRNGKey(2))
+    pos = np.concatenate([
+        np.random.RandomState(5).rand(128, 3).astype(np.float32),
+        np.ones((1, 3), np.float32)])  # x==1 edge exercises the pair wrap
+    base = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
+    monkeypatch.setenv("NERF_HUGS_PAIR_DENSE", "1")
+    paired = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
+    np.testing.assert_allclose(paired, base, rtol=1e-6, atol=1e-6)
+    want = numpy_tcnn_encode(table, pos, spec)
+    np.testing.assert_allclose(paired, want, rtol=1e-5, atol=1e-5)

@@ -92,16 +92,17 @@ def run_torch(batches, lr_init, steps):
     losses, psnrs = [], []
     for step in range(steps):
         b = batches[step]
+        f32 = lambda x: torch.from_numpy(np.asarray(x, np.float32))
         rays = {
-            "origin": torch.from_numpy(b.rays.origins),
-            "direction": torch.from_numpy(b.rays.directions),
-            "viewdir": torch.from_numpy(b.rays.viewdirs),
-            "near": torch.from_numpy(b.rays.near),
-            "far": torch.from_numpy(b.rays.far),
+            "origin": f32(b.rays.origins),
+            "direction": f32(b.rays.directions),
+            "viewdir": f32(b.rays.viewdirs),
+            "near": f32(b.rays.near),
+            "far": f32(b.rays.far),
             "embed_idx": torch.from_numpy(b.rays.embed_idx.astype(np.int64)),
             "bg_rgb": torch.ones(b.rays.origins.shape[0], 3),
         }
-        gt = torch.from_numpy(b.rgb)
+        gt = f32(b.rgb)
         for g in opt.param_groups:
             g["lr"] = lr_init * ref_lr_factor(step)
         out = model.forward_rays(rays, curr_step=step, perturb=True)
@@ -183,6 +184,7 @@ def main():
     parser.add_argument("--steps", type=int, default=400)
     parser.add_argument("--lrs", type=str, default="2e-3,1e-3,5e-4")
     parser.add_argument("--jax-only", action="store_true")
+    parser.add_argument("--torch-only", action="store_true")
     args = parser.parse_args()
 
     # Always CPU: this is a dynamics diagnostic, and it must not open a
@@ -198,8 +200,9 @@ def main():
     for lr in lrs:
         print(f"lr_init={lr:g} (reference recipe: sine warmup {WARMUP}, "
               f"delay_mult {LR_DELAY_MULT}, eps 1e-8)", flush=True)
-        lj, pj = run_jax(batches, lr, args.steps)
-        summarize(f"jax   lr={lr:g}", lj, pj)
+        if not args.torch_only:
+            lj, pj = run_jax(batches, lr, args.steps)
+            summarize(f"jax   lr={lr:g}", lj, pj)
         if not args.jax_only:
             lt, pt = run_torch(batches, lr, args.steps)
             summarize(f"torch lr={lr:g}", lt, pt)

@@ -62,7 +62,8 @@ def _yaml_override_file(config_path, save_dir, args):
         raw = yaml.safe_load(f)
     base = raw["base"]
     transient = raw.get("model", {}).get("transient_type")
-    base["dataset_type"] = ("synthetic_distractor" if transient
+    base["dataset_type"] = ("synthetic_distractor"
+                            if (transient or args.distractor)
                             else "synthetic")
     base["synthetic_num_images"] = SCENE_OVERRIDES["num_images"]
     base["synthetic_height"] = SCENE_OVERRIDES["height"]
@@ -86,7 +87,8 @@ def _gin_override_args(config_path, save_dir, args):
     """Pass the gin file untouched; overrides go in as --gin_bindings."""
     from nerf_hugs_tpu.configs import gin_parser
     probe = gin_parser.parse_gin_configs([config_path], [])
-    loader = ("synthetic_distractor" if probe.transient_type
+    loader = ("synthetic_distractor"
+              if (probe.transient_type or args.distractor)
               else "synthetic")
     steps = args.steps or probe.max_steps
     eval_every = args.eval_every or max(500, steps // 10)
@@ -276,6 +278,10 @@ def main():
     parser.add_argument("--steps", type=int, default=0)
     parser.add_argument("--eval-every", type=int, default=0)
     parser.add_argument("--save-dir", type=str, default=None)
+    parser.add_argument("--distractor", action="store_true",
+                        help="force the distractor scene (so a base config "
+                             "can be compared against transient methods on "
+                             "poisoned training data)")
     parser.add_argument("--amp", action="store_true")
     args = parser.parse_args()
 
