@@ -71,12 +71,14 @@ _PRIMES = (1, 2654435761, 805459861)
 
 
 def _pair_dense_enabled() -> bool:
-    """Measured-perf knob: NERF_HUGS_PAIR_DENSE=1 halves the dense-level
-    gather descriptor count via the augmented paired table (see
-    _encode_impl). Default off until the 16B-row gather rate is confirmed
-    on hardware (tools/bench_pair_gather.py)."""
+    """Measured-perf knob: paired-corner fetch on dense levels halves their
+    gather descriptor count via the augmented [T, 2F] table (see
+    _encode_impl). Default ON — measured on a real v5e it wins at both
+    benched shapes (kubric_nerfacto_base 3.17 -> 2.83 s/step avg,
+    kubric_nerfacto_tpu 0.794 -> 0.726). NERF_HUGS_PAIR_DENSE=0 restores
+    the per-corner path (A/B: tools/bench_pair_gather.py)."""
     import os
-    return os.environ.get("NERF_HUGS_PAIR_DENSE") == "1"
+    return os.environ.get("NERF_HUGS_PAIR_DENSE", "1") != "0"
 
 
 def level_scales(num_levels: int, base_res: int, max_res: int) -> np.ndarray:

@@ -347,16 +347,18 @@ def test_block_segment_sum_packed_bf16_matches_scatter_add():
 
 
 def test_hashgrid_pair_dense_matches_default(monkeypatch):
-    # NERF_HUGS_PAIR_DENSE=1 (paired-corner fetch on dense levels) must be
-    # numerically identical to the per-corner path — same adds, same order
-    # per feature, just fetched 2 corners per descriptor.
+    # The paired-corner fetch on dense levels (default on) must be
+    # numerically identical to the per-corner path (NERF_HUGS_PAIR_DENSE=0)
+    # — same adds, same order per feature, just fetched 2 corners per
+    # descriptor.
     spec = make_spec()
     table = rand_table(spec, jax.random.PRNGKey(2))
     pos = np.concatenate([
         np.random.RandomState(5).rand(128, 3).astype(np.float32),
         np.ones((1, 3), np.float32)])  # x==1 edge exercises the pair wrap
+    monkeypatch.setenv("NERF_HUGS_PAIR_DENSE", "0")
     base = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
-    monkeypatch.setenv("NERF_HUGS_PAIR_DENSE", "1")
+    monkeypatch.delenv("NERF_HUGS_PAIR_DENSE")
     paired = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
     np.testing.assert_allclose(paired, base, rtol=1e-6, atol=1e-6)
     want = numpy_tcnn_encode(table, pos, spec)

@@ -50,8 +50,14 @@ def main():
             idx = jax.random.randint(ki, (n_gathers, N), 0, C, jnp.int32)
 
             def run(t, i):
-                return sum(jnp.take(t, i[g], axis=0)
-                           for g in range(n_gathers))
+                # Planar accumulation: a [N, width] accumulator invites the
+                # (8,128)-tiled row-major padding (64x on width=2 — OOMs).
+                acc = jnp.zeros((N,))
+                for g in range(n_gathers):
+                    v = jnp.take(t, i[g], axis=0)
+                    for j in range(width):
+                        acc = acc + v[:, j]
+                return acc
 
             dt = timeit(run, tab, idx)
             n_desc = n_gathers * N
