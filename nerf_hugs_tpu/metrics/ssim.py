@@ -38,10 +38,16 @@ def _filter2d(img, kernel1d):
     krow = jnp.tile(krow, (c, 1, 1, 1))
     kcol = jnp.tile(kcol, (c, 1, 1, 1))
     dn = lax.conv_dimension_numbers(x.shape, krow.shape, ("NCHW", "OIHW", "NCHW"))
+    # precision must be pinned: this platform's default conv/matmul precision
+    # is bf16-like, and the sigma = E[x^2] - mu^2 cancellation downstream
+    # amplifies the rounding into SSIM values > 1 on smooth regions
+    # (observed 1.02 on TPU in-train eval; CPU runs fp32 and never sees it).
     x = lax.conv_general_dilated(x, krow, (1, 1), "VALID",
-                                 dimension_numbers=dn, feature_group_count=c)
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
     x = lax.conv_general_dilated(x, kcol, (1, 1), "VALID",
-                                 dimension_numbers=dn, feature_group_count=c)
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
     return x[0].transpose(1, 2, 0)
 
 

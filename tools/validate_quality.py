@@ -102,7 +102,7 @@ def _gin_override_args(config_path, save_dir, args):
         f"Config.train_render_every = {eval_every}",
         f"Config.checkpoint_every = {eval_every}",
         "Config.finetune_enable = False",
-    ]
+    ] + list(args.binding or [])
     argv = ["--gin_configs", config_path]
     for b in bindings:
         argv += ["--gin_bindings", b]
@@ -130,9 +130,10 @@ def run_exact_config(args):
     print(f"=== exact-config validation: {tag} ({steps} steps) ===",
           flush=True)
     print("train.py argv:", " ".join(argv), flush=True)
-    t0 = time.time()
-    train_driver.main(argv)
-    print(f"training wall-clock: {time.time()-t0:.0f}s", flush=True)
+    if not args.score_only:
+        t0 = time.time()
+        train_driver.main(argv)
+        print(f"training wall-clock: {time.time()-t0:.0f}s", flush=True)
 
     # Final full-test-set score at the exact config (held-out views).
     config = train_driver.load_config_from_args(
@@ -283,6 +284,15 @@ def main():
                              "can be compared against transient methods on "
                              "poisoned training data)")
     parser.add_argument("--amp", action="store_true")
+    parser.add_argument("--score-only", action="store_true",
+                        help="skip training; restore the latest checkpoint "
+                             "in --save-dir and print the RESULT line "
+                             "(e.g. to re-score after a metrics fix)")
+    parser.add_argument("--binding", action="append", default=[],
+                        help="extra gin binding for --config .gin runs "
+                             "(e.g. 'Model.remat_mlp = True' to fit the "
+                             "1024-wide flagship at batch 16384 on one "
+                             "chip); repeatable")
     args = parser.parse_args()
 
     if args.config:
