@@ -80,3 +80,30 @@ def test_config_roundtrip_snapshot(tmp_path):
     assert "Config.batch_size = 2048" in gin_text
     yaml_loader.save_yaml_config(config, str(tmp_path / "config.yml"))
     assert (tmp_path / "config.yml").exists()
+
+
+def test_kubric_robustnerf_gin_needs_patch_size_binding():
+    """Reference quirk, pinned: kubric_1024_robustnerf0.8.gin (both repos)
+    inherits patch_size=1 while robustnerf_inner_patch_size defaults to 8,
+    so running it unmodified trips the same guard the reference asserts
+    (train_utils.py:276-277: 'patch_size must be larger than
+    robustnerf_inner_patch_size'). The reference's distractor robustnerf
+    config sets Config.patch_size = 16; a binding restores the kubric run.
+    """
+    import jax.numpy as jnp
+
+    from nerf_hugs_tpu.losses import zoo
+
+    path = "configs/mipnerf360/kubric_1024_robustnerf0.8.gin"
+    config = gin_parser.parse_gin_configs([path])
+    assert config.patch_size == 1  # the quirk
+    errors = jnp.ones((4, config.patch_size, config.patch_size, 3)) * 0.01
+    with pytest.raises(ValueError, match="inner_patch_size"):
+        zoo.robustnerf_mask(errors, 0.5, config)
+
+    fixed = gin_parser.parse_gin_configs(
+        [path], bindings=["Config.patch_size = 16"])
+    errors = jnp.ones((4, 16, 16, 3)) * 0.01
+    mask, stats = zoo.robustnerf_mask(errors, 0.5, fixed)
+    assert mask.shape == (4, 16, 16, 1)
+    assert float(stats["mask"]) == 1.0  # all errors under threshold
