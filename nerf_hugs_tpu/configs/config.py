@@ -117,6 +117,12 @@ class NerfactoConfig:
          "features_per_level": 2, "num_levels": 5, "max_res": 256},
     )
     use_same_proposal_network: bool = False
+    # Reproduce the reference's density_to_weight delta quirk
+    # (ray_utils.py:231: deltas cumulative from the FIRST bin, not
+    # per-interval). Off by default — it's a bug — but released torch
+    # checkpoints were trained under it, so renders of imported weights
+    # need it on for faithful outputs (models/nerfacto_import.py).
+    legacy_cumulative_deltas: bool = False
     proposal_initial_sampler: str = "piecewise"  # 'piecewise' | 'uniform'
     proposal_histogram_padding: float = 0.01
     proposal_update_every: int = 5

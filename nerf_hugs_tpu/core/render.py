@@ -82,13 +82,20 @@ def cast_rays(tdist, origins, directions, radii, ray_shape, diag=True):
     return means + origins[..., None, :], covs
 
 
-def compute_alpha_weights(density, tdist, dirs, opaque_background=False):
+def compute_alpha_weights(density, tdist, dirs, opaque_background=False,
+                          cumulative_from_first=False):
     """Density -> compositing weights via transmittance (render.py:130-151).
 
     weights_i = alpha_i * T_i with T the exclusive cumulative transmittance.
     opaque_background makes the last interval infinitely wide so acc == 1.
+    cumulative_from_first reproduces the torch reference's delta quirk
+    (ray_utils.py:231: bins[1:] - bins[:1] — every interval measured from
+    the first bin); released nerfacto/vanilla checkpoints were trained
+    under it, so faithful renders of imported weights need it
+    (config.nerfacto.legacy_cumulative_deltas).
     """
-    delta = (tdist[..., 1:] - tdist[..., :-1]) * jnp.linalg.norm(
+    lo = tdist[..., :1] if cumulative_from_first else tdist[..., :-1]
+    delta = (tdist[..., 1:] - lo) * jnp.linalg.norm(
         dirs[..., None, :], axis=-1)
     density_delta = density * delta
     if opaque_background:
@@ -103,13 +110,17 @@ def compute_alpha_weights(density, tdist, dirs, opaque_background=False):
 
 
 def compute_dual_alpha_weights(density_s, density_t, tdist, dirs,
-                               opaque_background=False):
+                               opaque_background=False,
+                               cumulative_from_first=False):
     """NeRF-W static+transient compositing (render.py:154-182).
 
     Shared transmittance from the summed density; per-component alphas give
     (weights_static, weights_transient, weights_combined).
+    cumulative_from_first: see compute_alpha_weights (the torch reference's
+    dual_density_to_weight shares the same delta quirk).
     """
-    delta = (tdist[..., 1:] - tdist[..., :-1]) * jnp.linalg.norm(
+    lo = tdist[..., :1] if cumulative_from_first else tdist[..., :-1]
+    delta = (tdist[..., 1:] - lo) * jnp.linalg.norm(
         dirs[..., None, :], axis=-1)
     dd_s, dd_t = density_s * delta, density_t * delta
     dd_sum = (density_s + density_t) * delta

@@ -382,7 +382,8 @@ class NerfactoModel(nn.Module):
 
             weights, _, _ = render.compute_alpha_weights(
                 field_outputs["density"], tdist, rays.directions,
-                opaque_background=nc.opaque_background)
+                opaque_background=nc.opaque_background,
+                cumulative_from_first=nc.legacy_cumulative_deltas)
             weights = jnp.nan_to_num(weights)
 
             history = {"sdist": sdist, "weights": weights,
@@ -398,7 +399,8 @@ class NerfactoModel(nn.Module):
                         field_outputs["density"],
                         field_outputs["density_transient"], tdist,
                         rays.directions,
-                        opaque_background=nc.opaque_background)
+                        opaque_background=nc.opaque_background,
+                        cumulative_from_first=nc.legacy_cumulative_deltas)
                     (rendering["rgb_combined"], rendering["rgb_static"],
                      rendering["rgb_transient"]) = \
                         render.composite_combined_color(
@@ -408,7 +410,8 @@ class NerfactoModel(nn.Module):
                     w_tr = render.compute_alpha_weights(
                         field_outputs["density_transient"], tdist,
                         rays.directions,
-                        opaque_background=nc.opaque_background)[0]
+                        opaque_background=nc.opaque_background,
+                        cumulative_from_first=nc.legacy_cumulative_deltas)[0]
                     rendering["uncertainty"] = (
                         w_tr[..., None] * field_outputs["uncertainty"]
                     ).sum(axis=-2) + self.config.model.beta_min

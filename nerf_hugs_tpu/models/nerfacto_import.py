@@ -18,6 +18,14 @@ Our hash grid is tcnn-exact (ops/hashgrid.py): same per-level compact
 table sizes, offsets, dense/hash indexing and half-cell coordinates — so
 the tcnn flat params vector slices directly into our per-level tables.
 Linears transpose into flax Dense kernels.
+
+IMPORTANT: released checkpoints were trained under the reference's
+density_to_weight delta quirk (ray_utils.py:231 — deltas cumulative from
+the first bin). Set `config.nerfacto.legacy_cumulative_deltas = True`
+(yaml model key `legacy_cumulative_deltas`) when rendering imported
+weights, or densities are mis-scaled at composite time; leave it off for
+models trained in this repo. Parity locked by
+tests/test_torch_loss_parity.py::test_density_to_weight_legacy_delta_parity.
 """
 
 from __future__ import annotations

@@ -196,7 +196,8 @@ class VanillaNerfModel(nn.Module):
 
             weights, _, _ = render.compute_alpha_weights(
                 field_outputs["density"], tdist, rays.directions,
-                opaque_background=nc.opaque_background)
+                opaque_background=nc.opaque_background,
+                cumulative_from_first=nc.legacy_cumulative_deltas)
             weights = jnp.nan_to_num(weights)
 
             bg_key, rng = _random_split(rng)
@@ -210,7 +211,8 @@ class VanillaNerfModel(nn.Module):
                 w_s, w_t, w_c = render.compute_dual_alpha_weights(
                     field_outputs["density"],
                     field_outputs["density_transient"], tdist,
-                    rays.directions, opaque_background=nc.opaque_background)
+                    rays.directions, opaque_background=nc.opaque_background,
+                    cumulative_from_first=nc.legacy_cumulative_deltas)
                 (rendering["rgb_combined"], rendering["rgb_static"],
                  rendering["rgb_transient"]) = render.composite_combined_color(
                     field_outputs["rgb"], field_outputs["rgb_transient"],
@@ -218,7 +220,8 @@ class VanillaNerfModel(nn.Module):
                 w_tr = render.compute_alpha_weights(
                     field_outputs["density_transient"], tdist,
                     rays.directions,
-                    opaque_background=nc.opaque_background)[0]
+                    opaque_background=nc.opaque_background,
+                    cumulative_from_first=nc.legacy_cumulative_deltas)[0]
                 rendering["uncertainty"] = (
                     w_tr[..., None] * field_outputs["uncertainty"]
                 ).sum(axis=-2) + self.config.model.beta_min

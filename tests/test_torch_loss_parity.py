@@ -126,3 +126,50 @@ def test_robustnerf_mask_agrees(torch_utils):
     np.testing.assert_allclose(float(stats_mine["inlier_threshold"]),
                                float(extra_out["inlier_threshold"]),
                                rtol=1e-4)
+
+
+def test_density_to_weight_legacy_delta_parity(torch_utils):
+    """compute_alpha_weights(cumulative_from_first=True) reproduces the
+    torch reference's density_to_weight delta quirk (ray_utils.py:231:
+    deltas measured from the FIRST bin) bit-for-bit; the default (correct
+    per-interval deltas) deliberately does not. Released checkpoints were
+    trained under the quirk, so imported weights render with the flag on
+    (config.nerfacto.legacy_cumulative_deltas)."""
+    import torch
+
+    from nerf_hugs_tpu.core import render
+
+    _, t_ray = torch_utils
+    density = RNG.uniform(0, 5, (16, 8)).astype(np.float32)
+    bins = rand_sorted((16, 9), 0.1, 4.0)
+    dirs = RNG.standard_normal((16, 3)).astype(np.float32)
+
+    for opaque in (False, True):
+        ref_w, ref_a, ref_t = t_ray.density_to_weight(
+            torch.from_numpy(density), torch.from_numpy(bins),
+            torch.from_numpy(dirs), opaque_background=opaque)
+        w, a, t = render.compute_alpha_weights(
+            density, bins, dirs, opaque_background=opaque,
+            cumulative_from_first=True)
+        np.testing.assert_allclose(np.asarray(w), ref_w.numpy(),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), ref_a.numpy(),
+                                   rtol=1e-6, atol=1e-6)
+        w_fixed, _, _ = render.compute_alpha_weights(
+            density, bins, dirs, opaque_background=opaque)
+        assert np.abs(np.asarray(w_fixed) - ref_w.numpy()).max() > 1e-4
+
+    # Dual (NeRF-W) version shares the quirk.
+    density_t = RNG.uniform(0, 5, (16, 8)).astype(np.float32)
+    ref_ws, ref_wt, ref_wc = t_ray.dual_density_to_weight(
+        torch.from_numpy(density), torch.from_numpy(density_t),
+        torch.from_numpy(bins), torch.from_numpy(dirs),
+        opaque_background=False)
+    ws, wt, wc = render.compute_dual_alpha_weights(
+        density, density_t, bins, dirs, cumulative_from_first=True)
+    np.testing.assert_allclose(np.asarray(ws), ref_ws.numpy(),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wt), ref_wt.numpy(),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wc), ref_wc.numpy(),
+                               rtol=1e-6, atol=1e-6)

@@ -113,6 +113,12 @@ def main(argv=None):
     checkpoints.save_checkpoint(args.output_dir, state, step)
     print(f"converted step-{step} checkpoint -> "
           f"{args.output_dir}/checkpoint_{step}")
+    if config.model_type in ("nerfacto", "nerf") and \
+            args.reference_checkpoint.endswith((".pth", ".pt", ".ckpt")):
+        print("NOTE: torch snapshots were trained under the reference's "
+              "cumulative-delta compositing quirk; render/eval with the "
+              "model key `legacy_cumulative_deltas: true` for faithful "
+              "outputs (models/nerfacto_import.py docstring).")
 
 
 if __name__ == "__main__":
