@@ -50,3 +50,31 @@ def test_weighted_percentile_vis():
     w = jnp.ones(100)
     p = nh_vis.weighted_percentile(x, w, [50])
     np.testing.assert_allclose(float(p[0]), 0.5, atol=0.02)
+
+
+def test_prefetch_to_device_order_and_sharding():
+    """prefetch_to_device yields every batch exactly once, in order, with
+    the same ('data',) sharding shard_batch would give; size=0 (the
+    NERF_HUGS_PREFETCH=0 A/B path) degrades to synchronous sharding."""
+    mesh = mesh_lib.make_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    batches = [{"x": np.full((2 * n_dev, 3), i, np.float32)}
+               for i in range(7)]
+
+    for size in (2, 0):
+        out = list(mesh_lib.prefetch_to_device(iter(batches), mesh,
+                                               size=size))
+        assert len(out) == len(batches)
+        for i, b in enumerate(out):
+            np.testing.assert_array_equal(np.asarray(b["x"]),
+                                          batches[i]["x"])
+            assert b["x"].sharding == mesh_lib.data_sharding(mesh)
+
+
+def test_prefetch_to_device_env_toggle(monkeypatch):
+    monkeypatch.setenv("NERF_HUGS_PREFETCH", "0")
+    mesh = mesh_lib.make_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    batches = [{"x": np.zeros((n_dev, 2), np.float32)}] * 3
+    out = list(mesh_lib.prefetch_to_device(iter(batches), mesh, size=2))
+    assert len(out) == 3
