@@ -58,6 +58,7 @@ def main(argv=None):
     from nerf_hugs_tpu.train import step as train_step_lib
     from nerf_hugs_tpu.train.render_image import render_image
     from nerf_hugs_tpu.utils import io as nh_io
+    from nerf_hugs_tpu.utils.record import Recorder
 
     mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.make_mesh()
@@ -69,6 +70,8 @@ def main(argv=None):
                            is_training=False)
     metric_harness = nh_image.MetricHarness()
 
+    recorder = Recorder(config.checkpoint_dir,
+                        enable_file=jax.process_index() == 0)
     out_dir = os.path.join(config.checkpoint_dir,
                            f"{config.eval_data}_preds")
     if config.eval_save_output and jax.process_index() == 0:
@@ -91,7 +94,7 @@ def main(argv=None):
             continue
         last_step = step
         state = checkpoints.restore_params(ckpt_dir, state, step)
-        print(f"Evaluating checkpoint step {step} from {ckpt_dir}")
+        recorder.print(f"Evaluating checkpoint step {step} from {ckpt_dir}")
 
         all_metrics = []
         num_eval = min(dataset.size, config.eval_dataset_limit)
@@ -105,8 +108,8 @@ def main(argv=None):
             t0 = time.time()
             rendering = render_image(render_eval_fn, batch.rays, 1.0,
                                      state.params, config, mesh)
-            print(f"image {idx}/{num_eval} rendered in "
-                  f"{time.time() - t0:.2f}s")
+            recorder.print(f"image {idx}/{num_eval} rendered in "
+                           f"{time.time() - t0:.2f}s")
             if jax.process_index() != 0:
                 continue
 
@@ -132,8 +135,8 @@ def main(argv=None):
                                             lambda s: f"{s}_cc")
                 metrics.update(metrics_cc)
                 all_metrics.append(metrics)
-                print("  " + " ".join(f"{k}={v:.4f}"
-                                      for k, v in metrics.items()))
+                recorder.print("  " + " ".join(
+                    f"{k}={v:.4f}" for k, v in metrics.items()))
 
             if config.eval_save_ray_data:
                 ray_keys = {k: [np.asarray(x) for x in v]
@@ -167,17 +170,25 @@ def main(argv=None):
         if all_metrics and jax.process_index() == 0:
             mean = {k: float(np.mean([m[k] for m in all_metrics]))
                     for k in all_metrics[0]}
-            print("mean: " + " ".join(f"{k}={v:.4f}"
-                                      for k, v in mean.items()))
+            recorder.print("mean: " + " ".join(
+                f"{k}={v:.4f}" for k, v in mean.items()))
             with open(os.path.join(
                     config.checkpoint_dir,
                     f"metrics_{config.eval_data}_{step}.txt"), "w") as f:
                 for k, v in mean.items():
                     f.write(f"{k} {v}\n")
+        # Multi-host keep-alive barrier: a tiny all-device psum each polling
+        # iteration so every host reaches the same point before any sleeps
+        # or exits — without it, hosts desync in polling mode and the slow
+        # host's collectives hang (reference eval.py:237-240).
+        x = mesh_lib.shard_batch(
+            np.ones(jax.local_device_count(), np.float32), mesh)
+        jax.device_get(jnp.sum(x))
         if config.eval_only_once:
             break
 
-    print("evaluation complete")
+    recorder.print("evaluation complete")
+    recorder.close()
 
 
 if __name__ == "__main__":

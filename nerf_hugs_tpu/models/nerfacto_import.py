@@ -60,14 +60,17 @@ def split_tcnn_grid_params(flat: np.ndarray, spec: HashGridSpec
             for l in range(spec.num_levels)}
 
 
-def _dense(sd, prefix):
+def _dense(sd, prefix, consumed=None):
+    if consumed is not None:
+        consumed.update((f"{prefix}.weight", f"{prefix}.bias"))
     return {"kernel": np.asarray(sd[f"{prefix}.weight"]).astype(np.float32).T,
             "bias": np.asarray(sd[f"{prefix}.bias"]).astype(np.float32)}
 
 
-def _relu_mlp(sd, prefix, num_layers, first_index):
+def _relu_mlp(sd, prefix, num_layers, first_index, consumed=None):
     """Sequential Linears at indices first_index + 2j -> Dense_j."""
-    return {f"Dense_{j}": _dense(sd, f"{prefix}.{first_index + 2 * j}")
+    return {f"Dense_{j}": _dense(sd, f"{prefix}.{first_index + 2 * j}",
+                                 consumed)
             for j in range(num_layers)}
 
 
@@ -104,6 +107,7 @@ def convert_nerfacto_state_dict(sd: Dict[str, Any], config) -> Dict[str, Any]:
             "convertible")
     nc = config.nerfacto
     params: Dict[str, Any] = {}
+    consumed: set = set()
 
     field: Dict[str, Any] = {
         "hashgrid": split_tcnn_grid_params(
@@ -111,11 +115,12 @@ def convert_nerfacto_state_dict(sd: Dict[str, Any], config) -> Dict[str, Any]:
         # mlp_base Sequential = [grid_encoder, lin, relu, ..., lin]
         # (nerfacto.py:761-790): Linears at 1 + 2j.  num_layers Linears
         # total (num_layers-1 hidden + 1 out).
-        "mlp_base": _relu_mlp(sd, "field.mlp_base", 2, 1),
-        "mlp_head": _relu_mlp(sd, "field.mlp_head", 3, 0),
+        "mlp_base": _relu_mlp(sd, "field.mlp_base", 2, 1, consumed),
+        "mlp_head": _relu_mlp(sd, "field.mlp_head", 3, 0, consumed),
     }
     if f"field.mlp_transient.0.weight" in sd:
-        field["mlp_transient"] = _relu_mlp(sd, "field.mlp_transient", 3, 0)
+        field["mlp_transient"] = _relu_mlp(sd, "field.mlp_transient", 3, 0,
+                                           consumed)
     params["field"] = field
 
     i = 0
@@ -127,7 +132,7 @@ def convert_nerfacto_state_dict(sd: Dict[str, Any], config) -> Dict[str, Any]:
                 sd[f"proposal_networks.{i}.mlp_base.0.params"],
                 _proposal_spec(dict(args))),
             "mlp_base": _relu_mlp(sd, f"proposal_networks.{i}.mlp_base",
-                                  2, 1),
+                                  2, 1, consumed),
         }
         i += 1
 
@@ -145,15 +150,31 @@ def convert_nerfacto_state_dict(sd: Dict[str, Any], config) -> Dict[str, Any]:
                 sd["implicit_mask.grid_encoder.params"], _MASK_SPEC),
             # ImplicitMask mlp_base has no leading encoder in the
             # Sequential (nerfacto.py:1040-1070): Linears at 2j.
-            "mlp": _relu_mlp(sd, "implicit_mask.mlp_base", 3, 0),
+            "mlp": _relu_mlp(sd, "implicit_mask.mlp_base", 3, 0, consumed),
         }
+
+    # Strict mode (like the SAM converter): the MLP layer counts above are
+    # hardcoded to the shipped configs; a checkpoint trained with a
+    # non-default num_layers would leave extra Linear keys behind and
+    # convert silently-partially without this check.
+    leftover = [k for k in sd
+                if (".weight" in k or ".bias" in k)
+                and any(k.startswith(p) for p in (
+                    "field.mlp_", "proposal_networks.",
+                    "implicit_mask.mlp_"))
+                and k not in consumed]
+    if leftover:
+        raise ValueError(
+            "unconsumed MLP keys after conversion (checkpoint layer counts "
+            f"differ from the shipped configs): {sorted(leftover)[:8]}"
+            + ("..." if len(leftover) > 8 else ""))
     return {"params": params}
 
 
 def load_torch_nerfacto_checkpoint(path: str, config):
     """Load a released snapshot .pth and convert (returns variables, step)."""
-    import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    from nerf_hugs_tpu.models.torch_compat import torch_load_checkpoint
+    ckpt = torch_load_checkpoint(path)
     sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
     sd = {k: (v.numpy() if hasattr(v, "numpy") else v)
           for k, v in sd.items()

@@ -119,10 +119,25 @@ def convert_nerf_model_state_dict(sd: Dict[str, Any], config
     return {"params": params}
 
 
+def torch_load_checkpoint(path: str):
+    """torch.load with weights_only=True first (released snapshots are plain
+    tensor state dicts + ints); fall back to full unpickling with a warning
+    only if the safe path rejects the file."""
+    import torch
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # pickle.UnpicklingError or _pickle variants
+        import warnings
+        warnings.warn(
+            f"weights_only load of {path} failed ({type(e).__name__}: {e}); "
+            "falling back to weights_only=False, which executes pickled "
+            "code — only do this for checkpoints you trust.")
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
 def load_torch_nerf_checkpoint(path: str, config):
     """Load a released vanilla-NeRF snapshot .pth (returns variables, step)."""
-    import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = torch_load_checkpoint(path)
     sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
     sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
     step = 0

@@ -109,20 +109,49 @@ def finetune_partitions(config: Config, variables):
     """
     if config.model_type in ("nerfacto", "nerf"):
         groups = tuple(config.finetune_params or ())
+        matched = {g: False for g in groups}
+
+        def _tops_for(group):
+            # Vanilla NeRF's reference group 'field' is self.field, which
+            # holds both MLPs (nerf.py:228-231); our top-level modules are
+            # 'coarse'/'fine', so map the group name across.
+            if group == "field" and config.model_type == "nerf":
+                return ("coarse", "fine")
+            return (group,)
 
         def is_trainable(path):
             mods = path[1:] if path and path[0] == "params" else path
             top = mods[0] if mods else ""
-            return any(top == g or (g == "proposal"
+            hit = False
+            for g in groups:
+                if any(top == t or (t == "proposal"
                                     and top.startswith("proposal"))
-                       for g in groups)
+                       for t in _tops_for(g)):
+                    matched[g] = True
+                    hit = True
+            return hit
     else:
+        matched = None
+
         def is_trainable(path):
             return "embedding" in path
 
-    return traverse_util.path_aware_map(
+    labels = traverse_util.path_aware_map(
         lambda path, v: "trainable" if is_trainable(path) else "frozen",
         variables)
+    if matched is not None:
+        # The reference indexes params_dict[key] and KeyErrors on a bad
+        # group name (nerfacto/train.py:161-162); fail loudly here too
+        # instead of silently freezing the whole model.
+        missing = [g for g, hit in matched.items() if not hit]
+        if missing:
+            raise ValueError(
+                f"finetune_params groups {missing} match no parameters of "
+                f"model_type={config.model_type!r}; valid groups are "
+                "field / proposal / appearance_embedding / "
+                "transient_embedding / implicit_mask "
+                "(reference get_params_dict keys)")
+    return labels
 
 
 def create_finetune_optimizer(config: Config, variables

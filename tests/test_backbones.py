@@ -219,3 +219,43 @@ def test_nerfacto_proposal_grads_gated_by_update_schedule(mesh):
     assert all(np.array_equal(bp[k], ap[k]) for k in bp), (
         "proposal tables moved on a non-update step")
     assert any(not np.array_equal(bf[k], af[k]) for k in bf)
+
+
+def test_finetune_partitions_field_group_and_bad_key():
+    """ADVICE r3: vanilla NeRF's reference group 'field' covers
+    field.coarse/field.fine (nerf.py:228-231) — here the top-level modules
+    'coarse'/'fine'; an unknown group must raise (the reference KeyErrors
+    on params_dict[key], nerfacto/train.py:161)."""
+    variables = {"params": {
+        "coarse": {"Dense_0": {"kernel": np.zeros((2, 2))}},
+        "fine": {"Dense_0": {"kernel": np.zeros((2, 2))}},
+        "appearance_embedding": {"embedding": np.zeros((4, 2))},
+    }}
+    config = Config(model_type="nerf", finetune_params=("field",))
+    labels = train_step_lib.finetune_partitions(config, variables)
+    flat = {jax.tree_util.keystr(p): v for p, v in
+            jax.tree_util.tree_flatten_with_path(labels)[0]}
+    assert all(v == "trainable" for k, v in flat.items()
+               if "coarse" in k or "fine" in k)
+    assert all(v == "frozen" for k, v in flat.items()
+               if "appearance_embedding" in k)
+
+    config_bad = Config(model_type="nerf", finetune_params=("fields",))
+    with pytest.raises(ValueError, match="match no parameters"):
+        train_step_lib.finetune_partitions(config_bad, variables)
+
+    # nerfacto keeps 'field' as the literal module name.
+    config_facto = Config(model_type="nerfacto",
+                          finetune_params=("field", "proposal"))
+    vars_facto = {"params": {
+        "field": {"Dense_0": {"kernel": np.zeros((2, 2))}},
+        "proposal_0": {"Dense_0": {"kernel": np.zeros((2, 2))}},
+        "transient_embedding": {"embedding": np.zeros((4, 2))},
+    }}
+    labels2 = train_step_lib.finetune_partitions(config_facto, vars_facto)
+    flat2 = {jax.tree_util.keystr(p): v for p, v in
+             jax.tree_util.tree_flatten_with_path(labels2)[0]}
+    assert all(v == "trainable" for k, v in flat2.items()
+               if "field" in k or "proposal" in k)
+    assert all(v == "frozen" for k, v in flat2.items()
+               if "transient_embedding" in k)

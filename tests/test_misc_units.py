@@ -78,3 +78,21 @@ def test_prefetch_to_device_env_toggle(monkeypatch):
     batches = [{"x": np.zeros((n_dev, 2), np.float32)}] * 3
     out = list(mesh_lib.prefetch_to_device(iter(batches), mesh, size=2))
     assert len(out) == 3
+
+
+def test_recorder_logfile(tmp_path):
+    """Recorder prints AND appends to run_log.log (record_utils.py:5-23
+    parity); enable_file=False (non-zero hosts) writes nothing."""
+    from nerf_hugs_tpu.utils.record import Recorder
+    rec = Recorder(str(tmp_path))
+    rec.print("hello world")
+    rec.print("line two")
+    rec.close()
+    log = (tmp_path / "run_log.log").read_text()
+    assert "hello world" in log and "line two" in log
+    assert " - INFO # " in log  # reference's formatter layout
+
+    rec2 = Recorder(str(tmp_path / "sub"), enable_file=False)
+    rec2.print("not logged")
+    rec2.close()
+    assert not (tmp_path / "sub" / "run_log.log").exists()

@@ -115,10 +115,25 @@ def main(argv=None):
           f"{args.output_dir}/checkpoint_{step}")
     if config.model_type in ("nerfacto", "nerf") and \
             args.reference_checkpoint.endswith((".pth", ".pt", ".ckpt")):
-        print("NOTE: torch snapshots were trained under the reference's "
-              "cumulative-delta compositing quirk; render/eval with the "
-              "model key `legacy_cumulative_deltas: true` for faithful "
-              "outputs (models/nerfacto_import.py docstring).")
+        # Torch snapshots were trained under the reference's
+        # cumulative-delta compositing quirk (ray_utils.py:231); persist a
+        # ready-to-use config with the flag flipped so eval/render can't
+        # silently composite imported weights the wrong way.
+        emitted = os.path.join(args.output_dir, "config.yml")
+        if args.config:
+            import yaml
+            with open(args.config) as f:
+                raw = yaml.safe_load(f)
+            raw.setdefault("model", {})["legacy_cumulative_deltas"] = True
+            with open(emitted, "w") as f:
+                yaml.safe_dump(raw, f)
+            print(f"wrote {emitted} with legacy_cumulative_deltas: true — "
+                  "pass `--config` pointing at it for eval/render of these "
+                  "weights (models/nerfacto_import.py docstring).")
+        else:
+            print("NOTE: render/eval with the model key "
+                  "`legacy_cumulative_deltas: true` for faithful outputs "
+                  "(models/nerfacto_import.py docstring).")
 
 
 if __name__ == "__main__":

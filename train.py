@@ -76,6 +76,7 @@ def main(argv=None):
     from nerf_hugs_tpu.train.render_image import render_image
     from nerf_hugs_tpu.utils import io as nh_io
     from nerf_hugs_tpu.utils import vis as nh_vis
+    from nerf_hugs_tpu.utils.record import Recorder
 
     # Multi-host init must precede any device-touching JAX call (it fails
     # once the local backend exists).
@@ -95,6 +96,9 @@ def main(argv=None):
         os.makedirs(config.checkpoint_dir, exist_ok=True)
         with open(os.path.join(config.checkpoint_dir, "config.gin"), "w") as f:
             f.write(gin_parser.config_str(config))
+    # stdout + persistent run_log.log twin (record_utils.py:5-23 parity).
+    recorder = Recorder(config.checkpoint_dir,
+                        enable_file=jax.process_index() == 0)
 
     test_dataset = load_dataset("test", config.data_dir, config,
                                 is_training=False)
@@ -106,7 +110,7 @@ def main(argv=None):
 
     num_params = sum(
         x.size for x in jax.tree_util.tree_leaves(state.params))
-    print(f"Number of parameters being optimized: {num_params}")
+    recorder.print(f"Number of parameters being optimized: {num_params}")
 
     stages = ["train"] + (["finetune"] if config.finetune_enable else [])
     gc.disable()  # matching the reference; we collect manually (train.py:81)
@@ -205,10 +209,11 @@ def main(argv=None):
                 avg_psnr = float(np.mean(
                     [s["psnr"] for s in stats_host]))
                 lr = float(lr_fn(step))
-                print(f"[{stage}] {step}/{num_steps}: "
-                      f"loss={avg_loss:.5f} psnr={avg_psnr:.3f} "
-                      f"lr={lr:.2e} {steps_per_sec:.2f} steps/s "
-                      f"{rays_per_sec:.0f} rays/s")
+                recorder.print(
+                    f"[{stage}] {step}/{num_steps}: "
+                    f"loss={avg_loss:.5f} psnr={avg_psnr:.3f} "
+                    f"lr={lr:.2e} {steps_per_sec:.2f} steps/s "
+                    f"{rays_per_sec:.0f} rays/s")
                 if summary_writer is not None:
                     summary_writer.scalar("train_loss", avg_loss, step)
                     summary_writer.scalar("train_psnr", avg_psnr, step)
@@ -252,9 +257,10 @@ def main(argv=None):
                     metrics = metric_harness(
                         jnp.clip(jnp.asarray(rendering["rgb"]), 0, 1),
                         jnp.asarray(test_batch.rgb))
-                    print(f"[{stage}] {step}: eval "
-                          + " ".join(f"{k}={v:.4f}"
-                                     for k, v in metrics.items()))
+                    recorder.print(
+                        f"[{stage}] {step}: eval "
+                        + " ".join(f"{k}={v:.4f}"
+                                   for k, v in metrics.items()))
                     if summary_writer is not None:
                         for k, v in metrics.items():
                             summary_writer.scalar(f"eval_{k}", v, step)
@@ -274,7 +280,8 @@ def main(argv=None):
         if summary_writer is not None:
             summary_writer.flush()
 
-    print("training complete")
+    recorder.print("training complete")
+    recorder.close()
 
 
 if __name__ == "__main__":
