@@ -16,15 +16,34 @@ is the documented assumption here; the driver records the raw value too.
 The nerfacto extras carry their own vs_baseline. Written basis (the
 reference pins no step rate, BASELINE.md): the reference nerfacto trains
 batch 16384 / 25k steps / AMP fp16 on ONE 24 GB GPU (README.md:120,
-kubric_nerfacto_base.yml:19-26). Nerfstudio's stock nerfacto — same
-architecture family at hidden_dim=64, ~400 samples/ray, batch 4096 — is
-publicly quoted at ~20-30 min for 30k steps on an RTX 3090 (~17-25 steps/s,
-~70-100k rays/s). The reference's kubric shapes keep a similar sample count
-(256+128) but are ~2-4x heavier per sample (hidden 256 vs 64, geo_feat 64,
-2^21 tables, max_res 8192), giving an estimated ~2 steps/s at batch 16384 =
-32768 rays/s on the reference's own single-GPU recipe. That assumption is
-pinned below; docs/tpu_gather_cost_model.md has the roofline analysis of
-the remaining gap (v5e descriptor-rate ceiling on hash-table gathers).
+kubric_nerfacto_base.yml:19-26). External anchor: the nerfstudio project
+(Tancik et al., "Nerfstudio: A Modular Framework for Neural Radiance Field
+Development", SIGGRAPH 2023, arXiv:2302.04264) publicly quotes its stock
+nerfacto — the architecture this reference reimplements, at hidden_dim=64,
+~2^19 tables, batch 4096 — as training 30k steps in tens of minutes on an
+RTX-3090-class GPU (~17-25 steps/s, ~70-100k rays/s). The reference's
+kubric shapes keep a similar sample count (256+128) but are ~2-4x heavier
+per sample (hidden 256 vs 64, geo_feat 64, 2^21 tables, max_res 8192),
+giving an estimated ~2 steps/s at batch 16384 = 32768 rays/s on the
+reference's own single-GPU recipe. UNCERTAINTY BAND: the anchor is a
+wall-clock quote, not a measured step rate for these exact shapes — treat
+the basis as 2 steps/s within [1, 4] steps/s, i.e. the nerfacto
+vs_baseline is known to within ~2x either way (the extras carry the band).
+docs/tpu_gather_cost_model.md has the roofline analysis of the remaining
+gap (v5e descriptor-rate ceiling on hash-table gathers), and the extras
+publish fwd_descriptor_floor_frac — the measured fraction of the step that
+is irreducible descriptor cost.
+
+vanilla_base extras basis: the reference's kubric_nerf_base.yml trains
+batch 4096 / 250k steps fp32, coarse 64 + fine 128 merged samples of an
+8x256 PE-MLP — the original NeRF recipe. Mildenhall et al. 2020
+(arXiv:2003.08934, §6.1) report 100k-300k iterations taking ~1-2 days on
+one V100 at this batch size => 0.6-3.5 steps/s; scaling the midpoint
+(~1.5 steps/s) by ~2x for the reference's 24 GB-GPU class gives a basis of
+3 steps/s = 12288 rays/s, band [1.5, 6] steps/s. Roofline note: vanilla
+NeRF is dense PE-MLP compute with no table gathers — exactly the MXU's
+shape — so the TPU number should sit far above 1x, unlike the
+gather-bound nerfacto base shape.
 """
 
 import json
@@ -40,6 +59,7 @@ import numpy as np
 
 REFERENCE_RAYS_PER_SEC_PER_GPU = 4096.0           # see module docstring
 REFERENCE_NERFACTO_RAYS_PER_SEC_PER_GPU = 32768.0  # see module docstring
+REFERENCE_VANILLA_RAYS_PER_SEC_PER_GPU = 12288.0   # see module docstring
 
 BATCH_SIZE = 16384
 WARMUP_STEPS = 3
@@ -122,8 +142,19 @@ def main():
                     extra[key]["rays_per_sec"]
                     / REFERENCE_NERFACTO_RAYS_PER_SEC_PER_GPU, 3)
                 extra[key]["baseline_basis"] = (
-                    "est. 2 steps/s (32768 rays/s) for the reference's "
-                    "1x24GB-GPU AMP recipe; see bench.py docstring")
+                    "2 steps/s (32768 rays/s), band [1,4] steps/s, for the "
+                    "reference's 1x24GB-GPU AMP recipe — anchored on the "
+                    "nerfstudio (arXiv:2302.04264) public nerfacto step "
+                    "rate scaled to these shapes; bench.py docstring")
+            elif key == "vanilla_base" and "rays_per_sec" in extra[key]:
+                extra[key]["vs_baseline"] = round(
+                    extra[key]["rays_per_sec"]
+                    / REFERENCE_VANILLA_RAYS_PER_SEC_PER_GPU, 3)
+                extra[key]["baseline_basis"] = (
+                    "3 steps/s (12288 rays/s), band [1.5,6] steps/s — "
+                    "Mildenhall et al. 2020 (arXiv:2003.08934) V100 "
+                    "wall-clock scaled to a 24GB-GPU class; bench.py "
+                    "docstring")
         except Exception:
             extra[key] = {"error": traceback.format_exc(limit=1)}
 

@@ -41,6 +41,47 @@ def _example_rays(batch_size: int):
         cam_idx=np.zeros((batch_size, 1), np.int32))
 
 
+def fwd_descriptor_floor(config):
+    """Cost-model forward floor for one train step of a nerfacto config.
+
+    Counts the hash-grid gather DMA descriptors the step must issue (the
+    measured v5e bottleneck, docs/tpu_gather_cost_model.md): 2^d per sample
+    per level, halved on dense levels when the paired-corner fetch is on.
+    Returns (descriptors, floor_seconds_at_215M, floor_seconds_at_165M) —
+    the two ends of the measured per-level-table gather ceiling.
+    """
+    from nerf_hugs_tpu.ops import hashgrid as hg
+
+    nc = config.nerfacto
+    paired = hg._pair_dense_enabled()
+
+    def per_sample(spec):
+        dense = spec.dense_level()
+        full = 2 ** spec.num_dims
+        return sum((full // 2 if (paired and bool(dense[l])
+                                  and spec.num_dims >= 2) else full)
+                   for l in range(spec.num_levels))
+
+    field_spec = hg.HashGridSpec(
+        num_levels=nc.num_levels, features_per_level=nc.features_per_level,
+        log2_hashmap_size=nc.log2_hashmap_size, base_res=nc.base_res,
+        max_res=nc.max_res)
+    n = config.batch_size
+    descriptors = n * nc.num_nerf_samples_per_ray * per_sample(field_spec)
+    for i, args in enumerate(nc.proposal_net_args_list):
+        args = dict(args)
+        spec = hg.HashGridSpec(
+            num_levels=args.get("num_levels", 8),
+            features_per_level=args.get("features_per_level", 2),
+            log2_hashmap_size=args.get("log2_hashmap_size", 18),
+            base_res=args.get("base_res", 16),
+            max_res=args.get("max_res", 1024))
+        n_samp = nc.num_proposal_samples_per_ray[
+            min(i, len(nc.num_proposal_samples_per_ray) - 1)]
+        descriptors += n * n_samp * per_sample(spec)
+    return descriptors, descriptors / 215e6, descriptors / 165e6
+
+
 def bench_config(path, steps=10, warmup=2):
     # Defaults span TWO full proposal_update_every=5 cycles (steps base+2..
     # base+11 contain exactly 2 update steps for every shipped config, whose
@@ -84,13 +125,26 @@ def bench_config(path, steps=10, warmup=2):
                                        thresholds)
     float(stats["loss"])
     dt = (time.perf_counter() - t0) / steps
-    return {
+    out = {
         "config": path,
         "sec_per_step": round(dt, 3),
         "rays_per_sec": round(batch_size / dt, 1),
         "batch_size": batch_size,
         "loss": float(stats["loss"]),
     }
+    if config.model_type == "nerfacto":
+        # How much of the step is the irreducible descriptor cost: the
+        # cost-model forward floor (gather descriptors / measured v5e
+        # per-level gather ceiling) over the measured step time. ~1.0 means
+        # the step IS the hardware gather wall; see
+        # docs/tpu_gather_cost_model.md for the ceiling measurements.
+        n_desc, floor_fast, floor_slow = fwd_descriptor_floor(config)
+        out["fwd_descriptors_per_step"] = n_desc
+        out["fwd_descriptor_floor_sec"] = [round(floor_fast, 3),
+                                           round(floor_slow, 3)]
+        out["fwd_descriptor_floor_frac"] = [round(floor_fast / dt, 3),
+                                            round(floor_slow / dt, 3)]
+    return out
 
 
 def main():
