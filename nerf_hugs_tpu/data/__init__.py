@@ -17,6 +17,7 @@ def dataset_registry():
         "distractor": distractor.Distractor,
         "synthetic": synthetic.Synthetic,
         "synthetic_distractor": synthetic.SyntheticDistractor,
+        "synthetic_appearance": synthetic.SyntheticAppearance,
         # Stubs, matching the reference's NotImplementedError datasets.
         "tat_nerfpp": _not_implemented_loader("TanksAndTemplesNerfPP"),
         "tat_fvs": _not_implemented_loader("TanksAndTemplesFVS"),

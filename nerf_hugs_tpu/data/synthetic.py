@@ -121,3 +121,31 @@ class Synthetic(base.Dataset):
 class SyntheticDistractor(Synthetic):
     """Synthetic scene with per-train-image transient squares + HuGS masks."""
     DISTRACTORS = True
+
+
+class SyntheticAppearance(Synthetic):
+    """Multi-appearance sphere world for the Phototourism protocol.
+
+    Every image gets its own global multiplicative color tint (the
+    per-photo appearance variation Phototourism models with GLO/appearance
+    embeddings), and every image — train AND test — gets a DISTINCT
+    embedding row: train images use rows [0, n), test images rows
+    [n, n + m). Test appearances are therefore unseen at train time and
+    only learnable through the finetune stage's left-half-image embedding
+    fit (reference train_utils.py:539-544, datasets.py:512), which is
+    exactly what the protocol e2e test exercises.
+    """
+
+    def _load_renderings(self, config):
+        super()._load_renderings(config)
+        n = len(self.images)
+        test_split = self.split == structs.DataSplit.TEST
+        # Rows [n_train, n_train+n_test) for the test split. Both splits
+        # are generated with the same synthetic_num_images, so the offset
+        # is just n.
+        offset = n if test_split else 0
+        self.embed_idxs = self.embed_idxs + offset
+        tint_rng = np.random.RandomState(7)
+        tints = 0.25 + 0.75 * tint_rng.rand(2 * n, 3).astype(np.float32)
+        self.images = [img * tints[offset + i]
+                       for i, img in enumerate(self.images)]
