@@ -121,6 +121,27 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def put_global(tree, mesh: Mesh, axis_name: str = "data"):
+    """Shard a GLOBAL host array over the mesh's leading axis.
+
+    Unlike shard_batch (whose multi-host contract is per-host shards from
+    per-host datasets), every process holds the SAME full array here — the
+    eval path, where each host loads the full image and rays are split
+    across all devices of all hosts (reference models.py:611-616). Uses
+    make_array_from_callback so each process only materializes its
+    addressable shards."""
+    sharding = data_sharding(mesh, axis_name)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree)
+
+    def _put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx])
+    return jax.tree_util.tree_map(_put, tree)
+
+
 def pad_to_multiple(tree, multiple: int, axis: int = 0):
     """Edge-pad every leaf's leading axis to a multiple; returns (tree, pad)."""
     import jax.numpy as jnp

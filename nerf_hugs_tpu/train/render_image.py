@@ -33,8 +33,6 @@ def render_image(render_fn: Callable, rays: structs.Rays, train_frac,
 
     num_devices = max(1, len(mesh.devices.flatten()))
     chunk_size = config.render_chunk_size
-    sharding = mesh_lib.data_sharding(mesh)
-
     chunks = []
     idx0s = range(0, num_rays, chunk_size)
     for i_chunk, idx0 in enumerate(idx0s):
@@ -43,8 +41,9 @@ def render_image(render_fn: Callable, rays: structs.Rays, train_frac,
         chunk_rays = jax.tree_util.tree_map(
             lambda r: r[idx0:idx0 + chunk_size], rays)
         chunk_rays, padding = mesh_lib.pad_to_multiple(chunk_rays, num_devices)
-        chunk_rays = jax.tree_util.tree_map(
-            lambda r: jax.device_put(r, sharding), chunk_rays)
+        # Every host holds the full ray chunk; split it across ALL hosts'
+        # devices (reference models.py:611-616 host-split semantics).
+        chunk_rays = mesh_lib.put_global(chunk_rays, mesh)
         chunk_renderings, _ = render_fn(variables, train_frac, chunk_rays)
         chunk_renderings = jax.device_get(chunk_renderings)
         if padding > 0:

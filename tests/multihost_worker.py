@@ -26,7 +26,6 @@ mesh_lib.maybe_initialize_distributed()  # env-var driven (the train.py path)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from nerf_hugs_tpu.configs.config import Config, MLPConfig  # noqa: E402
 from nerf_hugs_tpu.data import load_dataset  # noqa: E402
 from nerf_hugs_tpu.train import step as train_step_lib  # noqa: E402
 
@@ -36,21 +35,8 @@ def main():
     assert jax.device_count() == 8, jax.device_count()
     assert jax.local_device_count() == 4
 
-    config = Config(
-        dataset_loader="synthetic", batch_size=512, patch_size=1,
-        image_num_per_batch=4, near=0.5, far=6.0, max_steps=10,
-        lr_init=2e-3, lr_final=2e-4, lr_delay_steps=2,
-        grad_max_norm=0.0, grad_max_val=0.0, data_loss_type="mse",
-        interlevel_loss_mult=1.0, distortion_loss_mult=0.0,
-        render_chunk_size=512)
-    config.model.num_prop_samples = 8
-    config.model.num_nerf_samples = 4
-    config.model.num_levels = 2
-    config.nerf_mlp = MLPConfig(net_depth=2, net_width=32,
-                                bottleneck_width=16, net_width_viewdirs=16,
-                                max_deg_point=4)
-    config.prop_mlp = MLPConfig(net_depth=2, net_width=16, disable_rgb=True,
-                                max_deg_point=4)
+    from tests.mh_config import tiny_mh_config  # noqa: E402
+    config = tiny_mh_config()
 
     mesh = mesh_lib.make_mesh()
     # Per-host data: the dataset divides batch_size by process_count and
@@ -59,9 +45,22 @@ def main():
     dataset = load_dataset("train", "", config)
     assert dataset._batch_size == 256  # 512 global / 2 processes
 
-    _, state, _, train_step, _ = train_step_lib.setup_model(
+    _, state, render_fn, train_step, _ = train_step_lib.setup_model(
         config, jax.random.PRNGKey(0), mesh)
     state = mesh_lib.replicate(state, mesh)
+
+    # Multi-host chunked render (reference models.py:611-616): every host
+    # holds the full ray set, rays split across ALL hosts' devices, outputs
+    # all-gathered back. Rendered with the deterministic INIT params so the
+    # parent test can compare bit-for-bit against a single-process render.
+    from nerf_hugs_tpu.train.render_image import render_image  # noqa: E402
+    test_ds = load_dataset("test", "", config, is_training=False)
+    test_batch = test_ds.generate_ray_batch(0)
+    rendering = render_image(render_fn, test_batch.rays, 1.0, state.params,
+                             config, mesh)
+    out_stem = os.environ["MH_RENDER_OUT"]
+    np.save(f"{out_stem}_p{jax.process_index()}.npy",
+            np.asarray(rendering["rgb"]))
     thresholds = mesh_lib.replicate(jnp.ones(config.num_ray_levels), mesh)
     rngs = mesh_lib.replicate(jax.random.PRNGKey(1), mesh)
 
@@ -73,6 +72,14 @@ def main():
                                         jnp.asarray(0.1), thresholds)
         losses.append(float(stats["loss"]))
     print("MH_LOSSES " + json.dumps(losses), flush=True)
+
+    # Render again with the TRAINED params: both hosts must produce the
+    # same image (replicated params, same global rays).
+    rendering2 = render_image(render_fn, test_batch.rays, 1.0, state.params,
+                              config, mesh)
+    np.save(f"{out_stem}_trained_p{jax.process_index()}.npy",
+            np.asarray(rendering2["rgb"]))
+    print("MH_DONE", flush=True)
 
 
 if __name__ == "__main__":

@@ -24,10 +24,11 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_training_agrees():
+def test_two_process_training_agrees(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "multihost_worker.py")
     port = _free_port()
+    render_stem = str(tmp_path / "mh_render")
     procs = []
     for pid in range(2):
         env = {k: v for k, v in os.environ.items()
@@ -37,6 +38,7 @@ def test_two_process_training_agrees():
             "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
             "JAX_NUM_PROCESSES": "2",
             "JAX_PROCESS_ID": str(pid),
+            "MH_RENDER_OUT": render_stem,
         })
         procs.append(subprocess.Popen(
             [sys.executable, worker], cwd=repo, env=env,
@@ -51,3 +53,35 @@ def test_two_process_training_agrees():
     # Replicated params + global all-reduce => both hosts see identical
     # losses even though they feed different per-host rays.
     assert losses[0] == losses[1], f"hosts diverged: {losses}"
+
+    # Multi-host chunked render (VERDICT r3 #6): both hosts assembled the
+    # SAME full image through the host-split + all_gather render path, at
+    # init AND after training.
+    import numpy as np
+    for tag in ("", "_trained"):
+        img0 = np.load(f"{render_stem}{tag}_p0.npy")
+        img1 = np.load(f"{render_stem}{tag}_p1.npy")
+        np.testing.assert_array_equal(img0, img1)
+
+    # And the init-params multi-host render matches a single-process render
+    # bit-for-bit (deterministic init; same jitted SPMD computation, only
+    # the host topology differs — reference models.py:611-616 contract).
+    import jax
+    from nerf_hugs_tpu.data import load_dataset
+    from nerf_hugs_tpu.parallel import mesh as mesh_lib
+    from nerf_hugs_tpu.train import step as train_step_lib
+    from nerf_hugs_tpu.train.render_image import render_image
+    from tests.mh_config import tiny_mh_config
+
+    config = tiny_mh_config()
+    mesh = mesh_lib.make_mesh()
+    _, state, render_fn, _, _ = train_step_lib.setup_model(
+        config, jax.random.PRNGKey(0), mesh)
+    params = mesh_lib.replicate(state.params, mesh)
+    test_ds = load_dataset("test", "", config, is_training=False)
+    batch = test_ds.generate_ray_batch(0)
+    rendering = render_image(render_fn, batch.rays, 1.0, params, config,
+                             mesh)
+    single = np.asarray(rendering["rgb"])
+    multi = np.load(f"{render_stem}_p0.npy")
+    np.testing.assert_allclose(single, multi, atol=1e-6)
