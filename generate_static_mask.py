@@ -225,7 +225,9 @@ def main(image_path, colmap_path, sam_model_type, sam_checkpoint_path,
     for d in (out_base, out_vis, out_mask):
         d.mkdir(parents=True, exist_ok=True)
 
+    import time
     for gt_path in gt_paths:
+        t_img = time.time()
         image_name = gt_path.stem[:-3]
         pred = load_image_rgb(image_dir / f"{image_name}_color.png")[..., :3]
         gt = load_image_rgb(gt_path)[..., :3]
@@ -248,7 +250,8 @@ def main(image_path, colmap_path, sam_model_type, sam_checkpoint_path,
                        out_mask / f"{image_name}.png")
         save_image_rgb(vis, out_vis / f"{image_name}.png")
         print(f"{image_name}: static fraction "
-              f"{float(static_mask.mean()):.3f}")
+              f"{float(static_mask.mean()):.3f} "
+              f"({time.time() - t_img:.1f}s)", flush=True)
 
 
 if __name__ == "__main__":
