@@ -1,0 +1,171 @@
+"""Microbench: attack the ~160 ms/step of residual row->column-major copies
+on hash-grid gather outputs (VERDICT r3 #4).
+
+The planar-accumulator forward (ops/hashgrid.py _encode_impl) reads
+per-feature columns `vals[:, j]` of every [n, 2F] corner-gather output;
+XLA's layout assignment answers with row->column conversion copies next to
+the strided readers (docs/tpu_gather_cost_model.md, accumulator A/B).
+Candidates measured here, at one dense level's real shape
+(kubric_nerfacto_base final field: n = 16384 x 128 samples, F = 2,
+paired-corner 16B rows):
+
+  A. planar (current production form) — baseline including the copies;
+  B. transposed-output gather: lax.gather with offset_dims=(0,) emits
+     [2F, n] directly, so feature reads are contiguous rows (risk: the
+     non-default offset position may hit XLA's slow gather path, like the
+     28.8 M idx/s 1-D slice-gather from the cost model);
+  C. Pallas accumulate kernel: consumes the row-major gather outputs +
+     weights and emits planar [n] accumulators in one pass — the relayout
+     happens once inside the kernel instead of as XLA copies;
+  D. quad-xy packing ([C, 4F] 32B rows, 2 descriptors/sample) with planar
+     accumulation — re-checked end-to-end at this shape.
+
+Run on the real TPU:  python tools/bench_fwd_copies.py [n_log2]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+F = 2  # features_per_level
+
+
+def timeit(fn, *args, iters=6):
+    f = jax.jit(fn)
+    out = f(*args)
+    jax.tree_util.tree_map(lambda x: float(x.ravel()[0]), out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.tree_util.tree_map(lambda x: float(x.ravel()[0]), out)
+    return (time.perf_counter() - t0) / iters
+
+
+# --- candidates -------------------------------------------------------------
+
+def planar(tab2, idx, w):
+    """A: current production form. tab2 [C, 2F]; idx [4, n]; w [8, n]."""
+    accs = [jnp.zeros((idx.shape[1],)) for _ in range(F)]
+    for c in range(4):
+        vals = jnp.take(tab2, idx[c], axis=0)          # [n, 2F]
+        for j in range(F):
+            accs[j] = (accs[j] + w[c] * vals[:, j]
+                       + w[c + 4] * vals[:, F + j])
+    return jnp.stack(accs, axis=-1)
+
+
+def gather_t(tab2, rows):
+    """[C, W] gathered at rows [n] -> [W, n] (slice dim leads the output)."""
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return lax.gather(tab2, rows[:, None], dnums,
+                      slice_sizes=(1, tab2.shape[1]))   # [2F, n]
+
+
+def transposed(tab2, idx, w):
+    """B: transposed-output gather; feature reads are contiguous."""
+    accs = [jnp.zeros((idx.shape[1],)) for _ in range(F)]
+    for c in range(4):
+        vals_t = gather_t(tab2, idx[c])                 # [2F, n]
+        for j in range(F):
+            accs[j] = (accs[j] + w[c] * vals_t[j]
+                       + w[c + 4] * vals_t[F + j])
+    return jnp.stack(accs, axis=-1)
+
+
+def _accum_kernel(v0, v1, v2, v3, w, o):
+    vs = (v0, v1, v2, v3)
+    for j in range(F):
+        acc = jnp.zeros(o.shape[:1], jnp.float32)
+        for c in range(4):
+            vals = vs[c][...]
+            acc = (acc + w[c, :] * vals[:, j]
+                   + w[c + 4, :] * vals[:, F + j])
+        o[:, j] = acc
+
+
+def pallas_accum(tab2, idx, w, block=4096):
+    """C: gathers stay XLA; the weighted planar accumulation is one Pallas
+    pass over the row-major gather outputs."""
+    from jax.experimental import pallas as pl
+    n = idx.shape[1]
+    vals = [jnp.take(tab2, idx[c], axis=0) for c in range(4)]  # [n, 2F] x4
+    vspec = pl.BlockSpec((block, 2 * F), lambda i: (i, 0))
+    wspec = pl.BlockSpec((8, block), lambda i: (0, i))
+    out = pl.pallas_call(
+        _accum_kernel,
+        grid=(n // block,),
+        in_specs=[vspec] * 4 + [wspec],
+        out_specs=pl.BlockSpec((block, F), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, F), jnp.float32),
+    )(*vals, w)
+    return out
+
+
+def quad(tab4, idx2, w):
+    """D: 32B rows fetch 4 corners per descriptor (2 gathers/sample)."""
+    accs = [jnp.zeros((idx2.shape[1],)) for _ in range(F)]
+    for c in range(2):
+        vals = jnp.take(tab4, idx2[c], axis=0)          # [n, 4F]
+        for q in range(4):
+            for j in range(F):
+                accs[j] = accs[j] + w[c * 4 + q] * vals[:, q * F + j]
+    return jnp.stack(accs, axis=-1)
+
+
+def main():
+    n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 21
+    n = 1 << n_log2   # samples (final field at base shapes: 2^21)
+    key = jax.random.PRNGKey(0)
+    kt, ki, kw = jax.random.split(key, 3)
+
+    for C in (274625, 2048383):   # dense levels N=64 and N=126 (~126^3)
+        tab2 = jax.random.normal(kt, (C, 2 * F), jnp.float32)
+        idx = jax.random.randint(ki, (4, n), 0, C, jnp.int32)
+        w = jax.random.uniform(kw, (8, n), jnp.float32)
+        # Quad layout: same corner set packed 4-wide; halve the index count.
+        tab4 = jnp.concatenate([tab2, jnp.roll(tab2, -int(round(C ** (1 / 3)
+                                                                ) or 1),
+                                               axis=0)], axis=-1)
+        idx2 = idx[:2]
+
+        ref = np.asarray(jax.jit(planar)(tab2, idx, w))
+        results = {"A_planar": timeit(planar, tab2, idx, w)}
+        try:
+            out_b = np.asarray(jax.jit(transposed)(tab2, idx, w))
+            np.testing.assert_allclose(out_b, ref, rtol=1e-5, atol=1e-5)
+            results["B_transposed_gather"] = timeit(transposed, tab2, idx, w)
+        except Exception as e:
+            results["B_transposed_gather"] = f"FAILED {type(e).__name__}: {e}"
+        try:
+            out_c = np.asarray(jax.jit(pallas_accum)(tab2, idx, w))
+            np.testing.assert_allclose(out_c, ref, rtol=1e-5, atol=1e-5)
+            results["C_pallas_accum"] = timeit(pallas_accum, tab2, idx, w)
+        except Exception as e:
+            results["C_pallas_accum"] = f"FAILED {type(e).__name__}: {e}"
+        try:
+            results["D_quad_32B"] = timeit(quad, tab4, idx2, w)
+        except Exception as e:
+            results["D_quad_32B"] = f"FAILED {type(e).__name__}: {e}"
+
+        print(f"--- C={C} rows, n={n} samples (4 paired descriptors each) "
+              "---")
+        for k, v in results.items():
+            if isinstance(v, float):
+                rate = 4 * n / v / 1e6
+                print(f"{k:24s} {v * 1e3:8.2f} ms   {rate:7.1f} M desc/s")
+            else:
+                print(f"{k:24s} {v}")
+
+
+if __name__ == "__main__":
+    main()
