@@ -122,6 +122,40 @@ def quad(tab4, idx2, w):
     return jnp.stack(accs, axis=-1)
 
 
+def _selection_matrix(cols):
+    """Constant [128, 128] one-hot S with S[s*cols + j, j*(128//cols) + s] = 1:
+    right-multiplying a [m, 128] row-major block of (128//cols) samples x cols
+    features de-interleaves it into cols planar [m, 128//cols] lane groups —
+    the transpose happens on the MXU instead of as an XLA conversion copy
+    (same trick as the backward's one-hot segment-sum, ops/hashgrid_bwd.py)."""
+    g = 128 // cols
+    s_mat = np.zeros((128, 128), np.float32)
+    for s in range(g):
+        for j in range(cols):
+            s_mat[s * cols + j, j * g + s] = 1.0
+    return jnp.asarray(s_mat)
+
+
+def mxu_transpose(tab2, idx, w):
+    """E: row-major gathers + MXU one-hot de-interleave to planar columns."""
+    cols = 2 * F
+    g = 128 // cols                      # samples per 128-lane row
+    n = idx.shape[1]
+    s_mat = _selection_matrix(cols)
+    accs = [jnp.zeros((n,)) for _ in range(F)]
+    for c in range(4):
+        vals = jnp.take(tab2, idx[c], axis=0)            # [n, 2F] row-major
+        flat = vals.reshape(n // g, 128)                  # bitcast view
+        # [n//g, 128] -> cols planar [n] vectors: lane group j*g:(j+1)*g of
+        # each row holds g consecutive samples of feature j.
+        p = (flat @ s_mat).reshape(n // g, cols, g)
+        for j in range(F):
+            vj = p[:, j, :].reshape(n)
+            vfj = p[:, F + j, :].reshape(n)
+            accs[j] = accs[j] + w[c] * vj + w[c + 4] * vfj
+    return jnp.stack(accs, axis=-1)
+
+
 def main():
     n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 21
     n = 1 << n_log2   # samples (final field at base shapes: 2^21)
@@ -156,6 +190,12 @@ def main():
             results["D_quad_32B"] = timeit(quad, tab4, idx2, w)
         except Exception as e:
             results["D_quad_32B"] = f"FAILED {type(e).__name__}: {e}"
+        try:
+            out_e = np.asarray(jax.jit(mxu_transpose)(tab2, idx, w))
+            np.testing.assert_allclose(out_e, ref, rtol=1e-5, atol=1e-5)
+            results["E_mxu_deinterleave"] = timeit(mxu_transpose, tab2, idx, w)
+        except Exception as e:
+            results["E_mxu_deinterleave"] = f"FAILED {type(e).__name__}: {e}"
 
         print(f"--- C={C} rows, n={n} samples (4 paired descriptors each) "
               "---")
