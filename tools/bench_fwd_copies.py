@@ -147,8 +147,12 @@ def mxu_transpose(tab2, idx, w):
         vals = jnp.take(tab2, idx[c], axis=0)            # [n, 2F] row-major
         flat = vals.reshape(n // g, 128)                  # bitcast view
         # [n//g, 128] -> cols planar [n] vectors: lane group j*g:(j+1)*g of
-        # each row holds g consecutive samples of feature j.
-        p = (flat @ s_mat).reshape(n // g, cols, g)
+        # each row holds g consecutive samples of feature j. HIGHEST keeps
+        # the 0/1 selection matmul exact (default TPU precision is bf16-like
+        # and would truncate the gathered values).
+        p = jnp.matmul(flat, s_mat,
+                       precision=lax.Precision.HIGHEST).reshape(
+                           n // g, cols, g)
         for j in range(F):
             vj = p[:, j, :].reshape(n)
             vfj = p[:, F + j, :].reshape(n)
