@@ -81,6 +81,50 @@ def _pair_dense_enabled() -> bool:
     return os.environ.get("NERF_HUGS_PAIR_DENSE", "1") != "0"
 
 
+def _mxu_deinterleave_enabled() -> bool:
+    """Measured-perf knob: de-interleave [n, cols] row-major gather outputs
+    into planar per-feature columns with one constant 0/1 selection matmul
+    on the MXU (the backward segment-sum trick applied to the forward,
+    tools/bench_fwd_copies.py candidate E) instead of strided vals[:, j]
+    reads, whose row->column conversion copies cost ~160 ms/step at
+    kubric_nerfacto_base shapes (docs/tpu_gather_cost_model.md). Default
+    OFF until the end-to-end win is measured; NERF_HUGS_MXU_DEINTERLEAVE=1
+    enables."""
+    import os
+    return os.environ.get("NERF_HUGS_MXU_DEINTERLEAVE", "0") == "1"
+
+
+@functools.lru_cache(maxsize=None)
+def _selection_matrix(cols: int) -> np.ndarray:
+    """[128, 128] one-hot S with S[s*cols + j, j*g + s] = 1 (g = 128//cols):
+    right-multiplying a [m, 128] block of g interleaved samples x cols
+    features de-interleaves it into cols planar [m, g] lane groups."""
+    g = 128 // cols
+    s_mat = np.zeros((128, 128), np.float32)
+    for s in range(g):
+        for j in range(cols):
+            s_mat[s * cols + j, j * g + s] = 1.0
+    return s_mat
+
+
+def _planar_columns(vals: jnp.ndarray):
+    """[n, cols] row-major -> cols planar [n] vectors.
+
+    Strided fallback (vals[:, j]) unless NERF_HUGS_MXU_DEINTERLEAVE=1 and
+    the shape permits (cols divides 128, n divisible by 128//cols); the MXU
+    matmul is exact: 0/1 selection at HIGHEST precision (the platform's
+    bf16-like default would truncate the gathered values)."""
+    n, cols = vals.shape
+    g = 128 // cols if 128 % cols == 0 else 0
+    if not _mxu_deinterleave_enabled() or g == 0 or n % g:
+        return [vals[:, j] for j in range(cols)]
+    s_mat = jnp.asarray(_selection_matrix(cols))
+    p = jnp.matmul(vals.reshape(n // g, 128), s_mat,
+                   precision=jax.lax.Precision.HIGHEST)
+    p = p.reshape(n // g, cols, g)
+    return [p[:, j, :].reshape(n) for j in range(cols)]
+
+
 def level_scales(num_levels: int, base_res: int, max_res: int) -> np.ndarray:
     """tcnn's per-level grid scale: scale_l = base * growth^l - 1.
 
@@ -327,14 +371,16 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
             half = num_corners // 2
             for c in range(half):
                 vals = jnp.take(tab2, rows[c], axis=0)            # [n, 2F]
+                cols = _planar_columns(vals)
                 for j in range(f):
-                    accs[j] = (accs[j] + weights[c] * vals[:, j]
-                               + weights[c + half] * vals[:, f + j])
+                    accs[j] = (accs[j] + weights[c] * cols[j]
+                               + weights[c + half] * cols[f + j])
         else:
             for c in range(num_corners):
                 vals = jnp.take(tab_l, rows[c], axis=0)           # [n, F]
+                cols = _planar_columns(vals)
                 for j in range(f):
-                    accs[j] = accs[j] + weights[c] * vals[:, j]
+                    accs[j] = accs[j] + weights[c] * cols[j]
         outs.extend(accs)
     out = jnp.stack(outs, axis=-1)                     # [n, L*F]
     out = out.reshape(lead_shape + (spec.output_dim,))

@@ -363,3 +363,36 @@ def test_hashgrid_pair_dense_matches_default(monkeypatch):
     np.testing.assert_allclose(paired, base, rtol=1e-6, atol=1e-6)
     want = numpy_tcnn_encode(table, pos, spec)
     np.testing.assert_allclose(paired, want, rtol=1e-5, atol=1e-5)
+
+
+def test_hashgrid_mxu_deinterleave_matches_default(monkeypatch):
+    # The MXU one-hot de-interleave (NERF_HUGS_MXU_DEINTERLEAVE=1) replaces
+    # the strided vals[:, j] reads with an exact 0/1 selection matmul at
+    # HIGHEST precision — outputs and gradients must match the strided path
+    # bit-for-bit-ish on both the paired-dense and hashed-level branches.
+    spec = make_spec()
+    table = rand_table(spec, jax.random.PRNGKey(3))
+    # n = 128 is divisible by every 128//cols, so the MXU branch is taken
+    # for both [n, 2F] (paired dense) and [n, F] (hashed) gather outputs.
+    pos = np.random.RandomState(7).rand(128, 3).astype(np.float32)
+
+    def loss(tab):
+        return jnp.sum(jnp.sin(hashgrid_encode(tab, jnp.asarray(pos), spec)))
+
+    monkeypatch.setenv("NERF_HUGS_MXU_DEINTERLEAVE", "0")
+    base = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
+    g_base = jax.grad(loss)(table)
+    monkeypatch.setenv("NERF_HUGS_MXU_DEINTERLEAVE", "1")
+    mxu = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
+    g_mxu = jax.grad(loss)(table)
+    np.testing.assert_allclose(mxu, base, rtol=1e-6, atol=1e-6)
+    for ga, gb in zip(g_mxu, g_base):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-6, atol=1e-6)
+    # Odd n falls back to the strided path (shape guard), still correct.
+    pos_odd = np.random.RandomState(8).rand(129, 3).astype(np.float32)
+    want = numpy_tcnn_encode(table, pos_odd, spec)
+    got = np.asarray(hashgrid_encode(table, jnp.asarray(pos_odd), spec))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(mxu, numpy_tcnn_encode(table, pos, spec),
+                               rtol=1e-5, atol=1e-5)
