@@ -35,6 +35,7 @@ import argparse
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -158,6 +159,33 @@ def run_exact_config(args):
     print(f"RESULT config={tag} steps={steps} "
           f"test_psnr={np.mean(psnrs):.2f} test_ssim={np.mean(ssims):.4f} "
           f"per_image_psnr={[round(p, 2) for p in psnrs]}", flush=True)
+
+    # Distractor-localization scoring for the uncertainty-based methods
+    # (VERDICT r3 #1: "beta/mask localization at scale"): on TRAIN views of
+    # the poisoned scene, NeRF-W's beta and HA-NeRF's 2-D implicit mask must
+    # be higher inside the known distractor squares than outside — the same
+    # inside/outside ratio the toy-scale regression tests lock
+    # (tests/test_train_e2e.py::test_nerfw_beta_localizes_distractors).
+    key = {"nerfw": "uncertainty", "hanerf": "implicit_mask"}.get(
+        config.transient_type)
+    if key:
+        try:
+            train_ds = load_dataset("train", "", config)
+            ratios = []
+            for idx in range(min(4, train_ds.size)):
+                batch = train_ds.generate_ray_batch(idx)
+                rendering = render_image(render_fn, batch.rays, 1.0, params,
+                                         config, mesh)
+                signal = np.asarray(rendering[key])[..., 0]
+                inside = np.asarray(batch.rays.static_mask)[..., 0] < 0.5
+                if inside.any() and (~inside).any():
+                    ratios.append(float(signal[inside].mean()
+                                        / max(signal[~inside].mean(), 1e-6)))
+            print(f"LOCALIZATION config={tag} signal={key} "
+                  f"inside_outside_ratio={np.mean(ratios):.2f} "
+                  f"per_image={[round(r, 2) for r in ratios]}", flush=True)
+        except Exception:  # unattended queue runs: never lose the RESULT
+            traceback.print_exc()
 
 
 # ---------------------------------------------------------------------------
