@@ -79,12 +79,29 @@ def main(argv=None):
 
     last_step = None
     while True:
-        # Prefer the finetune checkpoint when present (eval.py:75-77).
+        # Host 0 picks the checkpoint (preferring finetune, eval.py:75-77)
+        # and BROADCASTS (use_finetune, step) so every host restores the
+        # same one: independent filesystem views can lag, and hosts that
+        # disagree on `step` run different numbers of render passes and
+        # hang each other's collectives. The broadcast doubles as the
+        # per-polling-iteration keep-alive barrier (reference
+        # eval.py:237-240) — it runs on every path through the loop,
+        # including the sleep-and-retry one.
         ft_dir = os.path.join(config.checkpoint_dir, "finetune")
-        ckpt_dir = ft_dir if checkpoints.latest_step(ft_dir) is not None \
-            else config.checkpoint_dir
-        step = checkpoints.latest_step(ckpt_dir)
-        if step is None:
+        if jax.process_index() == 0:
+            use_ft = checkpoints.latest_step(ft_dir) is not None
+            probe = checkpoints.latest_step(
+                ft_dir if use_ft else config.checkpoint_dir)
+            vals = np.array([int(use_ft), -1 if probe is None else probe],
+                            np.int32)
+        else:
+            vals = np.zeros(2, np.int32)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            vals = multihost_utils.broadcast_one_to_all(vals)
+        use_ft, step = int(vals[0]), int(vals[1])
+        ckpt_dir = ft_dir if use_ft else config.checkpoint_dir
+        if step < 0:
             raise FileNotFoundError(
                 f"no checkpoint under {config.checkpoint_dir}")
         if step == last_step:
@@ -177,13 +194,6 @@ def main(argv=None):
                     f"metrics_{config.eval_data}_{step}.txt"), "w") as f:
                 for k, v in mean.items():
                     f.write(f"{k} {v}\n")
-        # Multi-host keep-alive barrier: a tiny all-device psum each polling
-        # iteration so every host reaches the same point before any sleeps
-        # or exits — without it, hosts desync in polling mode and the slow
-        # host's collectives hang (reference eval.py:237-240).
-        x = mesh_lib.shard_batch(
-            np.ones(jax.local_device_count(), np.float32), mesh)
-        jax.device_get(jnp.sum(x))
         if config.eval_only_once:
             break
 

@@ -226,6 +226,7 @@ def main(image_path, colmap_path, sam_model_type, sam_checkpoint_path,
         d.mkdir(parents=True, exist_ok=True)
 
     import time
+    durations = []
     for gt_path in gt_paths:
         t_img = time.time()
         image_name = gt_path.stem[:-3]
@@ -249,9 +250,11 @@ def main(image_path, colmap_path, sam_model_type, sam_checkpoint_path,
         save_image_rgb(np.broadcast_to(static_mask, gt.shape),
                        out_mask / f"{image_name}.png")
         save_image_rgb(vis, out_vis / f"{image_name}.png")
+        durations.append(time.time() - t_img)
         print(f"{image_name}: static fraction "
               f"{float(static_mask.mean()):.3f} "
-              f"({time.time() - t_img:.1f}s)", flush=True)
+              f"({durations[-1]:.1f}s)", flush=True)
+    return durations
 
 
 if __name__ == "__main__":

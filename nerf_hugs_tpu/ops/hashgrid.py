@@ -118,9 +118,9 @@ def _planar_columns(vals: jnp.ndarray):
     g = 128 // cols if 128 % cols == 0 else 0
     if not _mxu_deinterleave_enabled() or g == 0 or n % g:
         return [vals[:, j] for j in range(cols)]
+    from nerf_hugs_tpu.core import math as nh_math
     s_mat = jnp.asarray(_selection_matrix(cols))
-    p = jnp.matmul(vals.reshape(n // g, 128), s_mat,
-                   precision=jax.lax.Precision.HIGHEST)
+    p = nh_math.matmul_hp(vals.reshape(n // g, 128), s_mat)
     p = p.reshape(n // g, cols, g)
     return [p[:, j, :].reshape(n) for j in range(cols)]
 

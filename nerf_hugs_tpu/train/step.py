@@ -279,12 +279,16 @@ def create_render_fn(model, config: Config, mesh):
 
     data_sh = mesh_lib.data_sharding(mesh)
     rays_sh = jax.tree_util.tree_map(lambda _: data_sh, structs.dummy_rays(1))
-    # Multi-host: outputs sharded across processes are not addressable from
-    # any one host, so force them replicated — XLA inserts the all_gather
-    # the reference issues explicitly (train_utils.py:560, models.py:611-616).
-    # Single host keeps sharded outputs (device_get assembles them for free).
-    out_sh = (mesh_lib.replicated(mesh) if jax.process_count() > 1
-              else None)
+    # Multi-host: the RENDERINGS are consumed host-side, and sharded-across-
+    # processes outputs are not addressable from any one host, so force that
+    # element replicated — XLA inserts the all_gather the reference issues
+    # explicitly (train_utils.py:560, models.py:611-616). The ray_history
+    # element is DISCARDED by render_image, so it stays data-sharded (its
+    # natural layout) — replicating it too would all-gather every
+    # [chunk, samples, ...] per-level tensor for nothing. Single host keeps
+    # everything sharded (device_get assembles it for free).
+    out_sh = ((mesh_lib.replicated(mesh), data_sh)
+              if jax.process_count() > 1 else None)
     return jax.jit(render_eval_fn,
                    in_shardings=(mesh_lib.replicated(mesh), None, rays_sh),
                    out_shardings=out_sh)

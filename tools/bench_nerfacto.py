@@ -68,8 +68,14 @@ def fwd_descriptor_floor(config):
         max_res=nc.max_res)
     n = config.batch_size
     descriptors = n * nc.num_nerf_samples_per_ray * per_sample(field_spec)
-    for i, args in enumerate(nc.proposal_net_args_list):
-        args = dict(args)
+    # One proposal field per ITERATION, reusing the last args entry when the
+    # list is shorter (and the single shared entry under
+    # use_same_proposal_network) — exactly how the model instantiates them
+    # (models/nerfacto.py:254-273); iterating the args list alone would
+    # undercount gathers whenever iterations > len(list).
+    for i in range(nc.num_proposal_iterations):
+        args = dict(nc.proposal_net_args_list[
+            min(i, len(nc.proposal_net_args_list) - 1)])
         spec = hg.HashGridSpec(
             num_levels=args.get("num_levels", 8),
             features_per_level=args.get("features_per_level", 2),

@@ -142,23 +142,9 @@ def main(argv=None):
         sfm_seg_batch_size=128)
 
     t0 = time.time()
-    per_image = []
-
-    real_print = print
-    import builtins
-
-    def _tee(*a, **k):
-        real_print(*a, **k)
-        msg = " ".join(str(x) for x in a)
-        if "static fraction" in msg and "s)" in msg:
-            per_image.append(float(msg.rsplit("(", 1)[1].rstrip("s)")))
-    builtins.print, saved = _tee, builtins.print
-    try:
-        gsm.main(img_dir, sparse_dir, args.model, None,
-                 os.path.join(args.work_dir, "out"), config,
-                 sam_overrides=sam_overrides)
-    finally:
-        builtins.print = saved
+    per_image = gsm.main(img_dir, sparse_dir, args.model, None,
+                         os.path.join(args.work_dir, "out"), config,
+                         sam_overrides=sam_overrides) or []
     total = time.time() - t0
 
     mem = {}

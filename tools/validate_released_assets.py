@@ -40,6 +40,7 @@ import glob
 import json
 import os
 import sys
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -114,8 +115,10 @@ def _guess_config(experiment, scene, config_map):
     # experiment name (e.g. 'mipnerf360_kubric_1024_withmask' matches
     # configs/mipnerf360/kubric_1024_withmask.gin).
     best = None
-    for path in sorted(glob.glob("configs/*/*.gin") +
-                       glob.glob("configs/*/*.yml")):
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(
+            glob.glob(os.path.join(repo_root, "configs/*/*.gin")) +
+            glob.glob(os.path.join(repo_root, "configs/*/*.yml"))):
         stem = os.path.splitext(os.path.basename(path))[0]
         if stem in experiment and (best is None
                                    or len(stem) > len(best[0])):
@@ -280,9 +283,19 @@ def main(argv=None):
         config_path = _guess_config(experiment, scene, config_map)
         print(f"=== {experiment}/{scene} (config: {config_path}) ===",
               flush=True)
-        rows.append(validate_pair(
-            experiment, scene, args.assets_dir, args.work_dir, config_path,
-            lpips_weights, args.image_type, skip_render=args.skip_render))
+        # Per-pair isolation: one bad checkpoint/scene must not abort the
+        # whole day-one validation — record the failure in its row and keep
+        # going so PAPER_COMPARISON still covers every other pair.
+        try:
+            rows.append(validate_pair(
+                experiment, scene, args.assets_dir, args.work_dir,
+                config_path, lpips_weights, args.image_type,
+                skip_render=args.skip_render))
+        except Exception:
+            traceback.print_exc()
+            rows.append({"experiment": experiment, "scene": scene,
+                         "config": config_path,
+                         "error": traceback.format_exc(limit=3)})
         print(json.dumps(rows[-1], default=str), flush=True)
 
     path = emit_report(rows, extras, args.work_dir)
