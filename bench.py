@@ -103,10 +103,43 @@ def _time_flagship(config, mesh):
     return dt, loss
 
 
+def _probe_device(timeout_s: float = 900.0) -> None:
+    """Fail fast (clear JSON error) if the remote TPU service is wedged.
+
+    The tunnel's known failure mode is every op hanging forever (CLAUDE.md:
+    observed 6+ hour server-side wedges), which would hang the driver's
+    bench invocation with no diagnostic. Run one tiny op on a daemon thread;
+    if it doesn't complete in `timeout_s`, emit the one-line JSON with an
+    error field and exit immediately (os._exit: the wedged op never
+    returns, so normal interpreter teardown would block on it)."""
+    import threading
+
+    done = threading.Event()
+
+    def tiny_op():
+        x = jnp.ones((128, 128))
+        float((x @ x)[0, 0])
+        done.set()
+
+    t = threading.Thread(target=tiny_op, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "train_rays_per_sec_per_chip",
+            "value": None,
+            "unit": "rays/s",
+            "error": ("TPU unreachable: tiny-op probe hung for "
+                      f"{timeout_s:.0f}s (remote service wedge — see "
+                      "CLAUDE.md environment quirks)"),
+        }), flush=True)
+        os._exit(1)
+
+
 def main():
     from __graft_entry__ import _flagship_config
     from nerf_hugs_tpu.parallel import mesh as mesh_lib
 
+    _probe_device()
     devices = jax.devices()
     mesh = mesh_lib.make_mesh(devices)
     n_chips = len(devices)
