@@ -103,7 +103,7 @@ def _time_flagship(config, mesh):
     return dt, loss
 
 
-def _probe_device(timeout_s: float = 900.0) -> None:
+def _probe_device(timeout_s: float = 900.0, _op=None) -> None:
     """Fail fast (clear JSON error) if the remote TPU service is wedged.
 
     The tunnel's known failure mode is every op hanging forever (CLAUDE.md:
@@ -117,8 +117,11 @@ def _probe_device(timeout_s: float = 900.0) -> None:
     done = threading.Event()
 
     def tiny_op():
-        x = jnp.ones((128, 128))
-        float((x @ x)[0, 0])
+        if _op is None:
+            x = jnp.ones((128, 128))
+            float((x @ x)[0, 0])
+        else:
+            _op()  # test seam: a deterministic stand-in for the wedged op
         done.set()
 
     t = threading.Thread(target=tiny_op, daemon=True)
