@@ -112,6 +112,56 @@ def make_fake_kubric_scene(root):
     return h, w
 
 
+def make_fake_blender_scene(root):
+    """Minimal NeRF-synthetic tree: transforms_{split}.json + RGBA PNGs
+    (reference layout: MipNeRF360/internal/datasets.py:552-630)."""
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    h, w = 12, 16
+    for split, names in (("train", ["r_0", "r_1", "r_2"]),
+                         ("test", ["r_0", "r_1"])):
+        os.makedirs(f"{root}/{split}", exist_ok=True)
+        frames = []
+        for name in names:
+            rgba = (rng.rand(h, w, 4) * 255).astype(np.uint8)
+            rgba[..., 3] = (rng.rand(h, w) > 0.5).astype(np.uint8) * 255
+            Image.fromarray(rgba, "RGBA").save(f"{root}/{split}/{name}.png")
+            c2w = np.eye(4)
+            c2w[:3, 3] = rng.randn(3)
+            frames.append({"file_path": f"./{split}/{name}",
+                           "transform_matrix": c2w.tolist()})
+        with open(f"{root}/transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.6911, "frames": frames}, f)
+    return h, w
+
+
+def test_blender_loader(tmp_path):
+    h, w = make_fake_blender_scene(str(tmp_path))
+    config = make_config(dataset_loader="blender", factor=1, batch_size=64,
+                         image_num_per_batch=2, near=2.0, far=6.0)
+    ds = load_dataset("train", str(tmp_path), config)
+    assert ds.size == 3
+    batch = next(ds)
+    assert batch.rgb.shape == (64, 3)
+    assert np.all(batch.rays.near == 2.0) and np.all(batch.rays.far == 6.0)
+    # Focal from camera_angle_x (datasets.py:565 semantics).
+    np.testing.assert_allclose(
+        ds.focals[0], 0.5 * w / np.tan(0.5 * 0.6911), rtol=1e-6)
+
+    ds_test = load_dataset("test", str(tmp_path), config)
+    assert ds_test.size == 2
+    tb = next(ds_test)
+    assert tb.rgb.shape == (h, w, 3)
+    # Alpha composited onto WHITE: zero-alpha pixels are exactly 1.0.
+    from PIL import Image
+    rgba = np.asarray(Image.open(f"{tmp_path}/test/r_0.png")) / 255.0
+    zero_a = rgba[..., 3] == 0.0
+    assert zero_a.any()
+    np.testing.assert_allclose(tb.rgb[zero_a], 1.0, atol=1e-6)
+    # Train/test embeddings are disjoint: test offsets by the train count.
+    assert int(tb.rays.embed_idx[0, 0, 0]) == 3
+
+
 def test_kubric_loader(tmp_path):
     h, w = make_fake_kubric_scene(str(tmp_path))
     config = make_config(dataset_loader="kubric", factor=1,
