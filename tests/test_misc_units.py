@@ -96,3 +96,47 @@ def test_recorder_logfile(tmp_path):
     rec2.print("not logged")
     rec2.close()
     assert not (tmp_path / "sub" / "run_log.log").exists()
+
+
+def test_fwd_descriptor_floor_counts(monkeypatch):
+    """bench's cost-model floor: closed-form descriptor count on the shipped
+    base config, unpaired; paired mode subtracts exactly half the dense
+    levels' corners (docs/tpu_gather_cost_model.md)."""
+    from tools.bench_nerfacto import fwd_descriptor_floor
+    from nerf_hugs_tpu.configs.yaml_loader import load_yaml_config
+    from nerf_hugs_tpu.ops import hashgrid as hg
+
+    config = load_yaml_config("configs/nerfacto/kubric_nerfacto_base.yml")
+    nc = config.nerfacto
+
+    def spec_of(args):
+        return hg.HashGridSpec(
+            num_levels=args.get("num_levels", 8),
+            features_per_level=args.get("features_per_level", 2),
+            log2_hashmap_size=args.get("log2_hashmap_size", 18),
+            base_res=args.get("base_res", 16),
+            max_res=args.get("max_res", 1024))
+
+    field = hg.HashGridSpec(
+        num_levels=nc.num_levels, features_per_level=nc.features_per_level,
+        log2_hashmap_size=nc.log2_hashmap_size, base_res=nc.base_res,
+        max_res=nc.max_res)
+    prop = spec_of(dict(nc.proposal_net_args_list[0]))
+    assert nc.num_proposal_iterations == 1  # shipped base shape
+
+    monkeypatch.setenv("NERF_HUGS_PAIR_DENSE", "0")
+    n_unpaired, t_fast, t_slow = fwd_descriptor_floor(config)
+    # Unpaired: 8 corners x every level x every sample.
+    samples_field = config.batch_size * nc.num_nerf_samples_per_ray
+    samples_prop = config.batch_size * nc.num_proposal_samples_per_ray[0]
+    expect = 8 * (samples_field * field.num_levels
+                  + samples_prop * prop.num_levels)
+    assert n_unpaired == expect
+    assert t_fast == n_unpaired / 215e6 and t_slow == n_unpaired / 165e6
+
+    monkeypatch.setenv("NERF_HUGS_PAIR_DENSE", "1")
+    n_paired, _, _ = fwd_descriptor_floor(config)
+    dense_saved = 4 * (samples_field * int(field.dense_level().sum())
+                       + samples_prop * int(prop.dense_level().sum()))
+    assert dense_saved > 0
+    assert n_paired == n_unpaired - dense_saved
