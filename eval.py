@@ -102,8 +102,17 @@ def main(argv=None):
         use_ft, step = int(vals[0]), int(vals[1])
         ckpt_dir = ft_dir if use_ft else config.checkpoint_dir
         if step < 0:
-            raise FileNotFoundError(
-                f"no checkpoint under {config.checkpoint_dir}")
+            # Polling mode launches alongside train (reference eval.py:65-80:
+            # a missing checkpoint restores the init state at step 0 and hits
+            # the sleep-and-retry branch) — wait for the first checkpoint
+            # instead of crashing. One-shot mode fails loudly.
+            if config.eval_only_once:
+                raise FileNotFoundError(
+                    f"no checkpoint under {config.checkpoint_dir}")
+            recorder.print(
+                f"no checkpoint yet under {config.checkpoint_dir}, sleeping")
+            time.sleep(10)
+            continue
         if step == last_step:
             if config.eval_only_once:
                 break
@@ -195,6 +204,21 @@ def main(argv=None):
                 for k, v in mean.items():
                     f.write(f"{k} {v}\n")
         if config.eval_only_once:
+            break
+        # Polling mode terminates once the final expected checkpoint has
+        # been evaluated (reference eval.py:244-249: early_exit_steps or
+        # max_steps, with finetune steps offset by max_steps). Deliberate
+        # deviation: with finetune enabled we wait for the LAST finetune
+        # checkpoint (max_steps + finetune_max_steps) — the reference
+        # breaks on the first one (any finetune step ≥ its max_steps
+        # bound), silently skipping the rest of the finetune schedule.
+        effective_step = step + (config.max_steps if use_ft else 0)
+        if config.early_exit_steps is not None:
+            final_step = config.early_exit_steps
+        else:
+            final_step = config.max_steps + (
+                config.finetune_max_steps if config.finetune_enable else 0)
+        if effective_step >= final_step:
             break
 
     recorder.print("evaluation complete")

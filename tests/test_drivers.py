@@ -154,3 +154,41 @@ def test_train_resume_from_checkpoint(tmp_path):
     shutil.rmtree(ckpt / "checkpoint_8")  # simulate preemption after step 4
     train_driver.main(argv)  # must resume from 4, re-reach 8
     assert (ckpt / "checkpoint_8").exists()
+
+
+def test_eval_polling_waits_then_exits_at_final_step(tmp_path, monkeypatch):
+    """Polling-mode eval (eval_only_once=False) launched before training:
+    it must WAIT for the first checkpoint (reference eval.py:65-80 restores
+    the init state and sleeps, never crashes) and TERMINATE once the final
+    expected checkpoint is evaluated (reference eval.py:244-249)."""
+    import time as time_mod
+
+    import train as train_driver
+    import eval as eval_driver
+
+    scene = tmp_path / "scene"
+    ckpt = tmp_path / "ckpt"
+    make_fake_kubric_scene(str(scene))
+    extra = ["Config.eval_only_once = False",
+             "Config.train_render_every = 0"]
+    argv = [f"--gin_bindings={b}"
+            for b in tiny_bindings(str(scene), str(ckpt), extra)]
+
+    # The sleep hook stands in for the concurrently-running trainer: the
+    # first wait-for-checkpoint sleep creates the checkpoints, so eval's
+    # next polling iteration finds step 8 == max_steps and terminates.
+    slept = []
+
+    def fake_sleep(sec):
+        if not slept:
+            train_driver.main(argv)
+        slept.append(sec)
+
+    monkeypatch.setattr(time_mod, "sleep", fake_sleep)
+    eval_driver.main(argv + ["--eval_data=test"])  # returns == terminated
+
+    assert slept, "eval never hit the wait-for-checkpoint branch"
+    preds = glob.glob(str(ckpt / "test_preds" / "*_color.png"))
+    assert len(preds) == 2
+    log = (ckpt / "run_log.log").read_text()
+    assert "no checkpoint yet" in log
