@@ -170,8 +170,19 @@ def main(argv=None):
     for f in futures:
         f.result()
 
-    if jax.process_index() == 0 and config.render_num_jobs == 1:
-        create_videos(config, base_dir, out_dir, out_name, dataset.size)
+    # Whichever job finishes last sees the full frame set and encodes the
+    # videos (reference render.py:198-203 counts saved files after a settle
+    # delay — every job checks; with one job this is trivially the end).
+    if jax.process_index() == 0:
+        if config.render_num_jobs > 1:
+            time.sleep(1)  # settle: peer jobs' in-flight async saves
+        num_files = len(
+            [n for n in os.listdir(out_dir)
+             if n.startswith("color_") and n.endswith(".png")])
+        if num_files == dataset.size:
+            print(f"All files found, creating videos "
+                  f"(job {config.render_job_id}).")
+            create_videos(config, base_dir, out_dir, out_name, dataset.size)
 
     print("render complete")
 

@@ -192,3 +192,30 @@ def test_eval_polling_waits_then_exits_at_final_step(tmp_path, monkeypatch):
     assert len(preds) == 2
     log = (ckpt / "run_log.log").read_text()
     assert "no checkpoint yet" in log
+
+
+def test_render_videos_made_by_last_finishing_job(tmp_path, monkeypatch):
+    """Sharded rendering: whichever job completes the frame set encodes the
+    videos (reference render.py:198-203), not only the num_jobs==1 case."""
+    import train as train_driver
+    import render as render_driver
+
+    scene = tmp_path / "scene"
+    ckpt = tmp_path / "ckpt"
+    make_fake_kubric_scene(str(scene))
+    argv = [f"--gin_bindings={b}"
+            for b in tiny_bindings(str(scene), str(ckpt),
+                                   ["Config.train_render_every = 0"])]
+    train_driver.main(argv)
+
+    calls = []
+    monkeypatch.setattr(render_driver, "create_videos",
+                        lambda *a, **k: calls.append(a))
+    for job in (0, 1):
+        extra = ["Config.train_render_every = 0",
+                 "Config.render_num_jobs = 2",
+                 f"Config.render_job_id = {job}"]
+        render_driver.main([f"--gin_bindings={b}"
+                            for b in tiny_bindings(str(scene), str(ckpt),
+                                                   extra)])
+    assert len(calls) == 1  # job 0 saw a partial set; job 1 completed it
