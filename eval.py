@@ -121,6 +121,12 @@ def main(argv=None):
         last_step = step
         state = checkpoints.restore_params(ckpt_dir, state, step)
         recorder.print(f"Evaluating checkpoint step {step} from {ckpt_dir}")
+        # Render mid-training checkpoints at the train_frac they were trained
+        # at (reference eval.py:103: clip(step / max_steps)) so sampling
+        # anneal/dilation match the weights; finetune checkpoints sit past
+        # the full schedule -> 1.
+        train_frac = 1.0 if use_ft else float(
+            np.clip(step / config.max_steps, 0.0, 1.0))
 
         all_metrics = []
         num_eval = min(dataset.size, config.eval_dataset_limit)
@@ -132,7 +138,7 @@ def main(argv=None):
             # next(dataset) on later passes would mislabel images/metrics.
             batch = dataset.generate_ray_batch(idx)
             t0 = time.time()
-            rendering = render_image(render_eval_fn, batch.rays, 1.0,
+            rendering = render_image(render_eval_fn, batch.rays, train_frac,
                                      state.params, config, mesh)
             recorder.print(f"image {idx}/{num_eval} rendered in "
                            f"{time.time() - t0:.2f}s")

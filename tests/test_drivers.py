@@ -219,3 +219,61 @@ def test_render_videos_made_by_last_finishing_job(tmp_path, monkeypatch):
                             for b in tiny_bindings(str(scene), str(ckpt),
                                                    extra)])
     assert len(calls) == 1  # job 0 saw a partial set; job 1 completed it
+
+
+def test_train_frac_semantics(tmp_path, monkeypatch):
+    """train_frac parity: the finetune stage runs at 1.0 (reference
+    train.py:141) and eval renders a mid-training checkpoint at
+    step / max_steps (reference eval.py:103), not at 1.0."""
+    import shutil
+
+    import train as train_driver
+    import eval as eval_driver
+    from nerf_hugs_tpu.train import step as train_step_lib
+    from nerf_hugs_tpu.train import render_image as ri_mod
+
+    scene = tmp_path / "scene"
+    ckpt = tmp_path / "ckpt"
+    make_fake_kubric_scene(str(scene))
+    extra = [
+        "Config.finetune_enable = True",
+        "Config.finetune_max_steps = 4",
+        "Config.finetune_batch_size = 128",
+        "Config.finetune_image_num_per_batch = 2",
+        "Model.num_glo_features = 4",
+        "Config.train_render_every = 0",
+        "Config.checkpoint_every = 4",
+    ]
+    argv = [f"--gin_bindings={b}"
+            for b in tiny_bindings(str(scene), str(ckpt), extra)]
+
+    finetune_fracs = []
+    real_setup_ft = train_step_lib.setup_finetune_model
+
+    def spy_setup_ft(config, model, state, mesh):
+        state, train_step, lr_fn = real_setup_ft(config, model, state, mesh)
+
+        def spy_step(rngs, state, batch, train_frac, thresholds):
+            finetune_fracs.append(float(train_frac))
+            return train_step(rngs, state, batch, train_frac, thresholds)
+
+        return state, spy_step, lr_fn
+
+    monkeypatch.setattr(train_step_lib, "setup_finetune_model", spy_setup_ft)
+    train_driver.main(argv)
+    assert finetune_fracs and all(f == 1.0 for f in finetune_fracs)
+
+    # Make step 4 (of max_steps 8) the latest TRAIN checkpoint; drop the
+    # finetune dir so eval scores the mid-training train stage.
+    shutil.rmtree(ckpt / "finetune")
+    shutil.rmtree(ckpt / "checkpoint_8")
+    eval_fracs = []
+    real_render_image = ri_mod.render_image
+
+    def spy_render(render_fn, rays, train_frac, *a, **k):
+        eval_fracs.append(float(train_frac))
+        return real_render_image(render_fn, rays, train_frac, *a, **k)
+
+    monkeypatch.setattr(ri_mod, "render_image", spy_render)
+    eval_driver.main(argv + ["--eval_data=test"])
+    assert eval_fracs and all(f == 0.5 for f in eval_fracs)  # step 4 / 8

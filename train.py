@@ -186,7 +186,16 @@ def main(argv=None):
             if reset_timer:
                 train_start_time = time.time()
                 reset_timer = False
-            train_frac = jnp.clip((step - 1) / (num_steps - 1), 0, 1)
+            # Finetune runs at the END of the schedule: anneal/dilation stay
+            # fully matured (reference train.py:141 pins 1.). The train-stage
+            # fraction divides by the FULL max_steps even under
+            # early_exit_steps (the reference's denominator), so early exits
+            # don't race the proposal anneal.
+            if is_finetune:
+                train_frac = jnp.asarray(1.0)
+            else:
+                train_frac = jnp.clip(
+                    (step - 1) / max(config.max_steps - 1, 1), 0, 1)
             state, stats, rngs = train_step(rngs, state, batch, train_frac,
                                             inlier_thresholds)
             if config.transient_type == "robustnerf" and not is_finetune:
