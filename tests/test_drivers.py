@@ -277,3 +277,19 @@ def test_train_frac_semantics(tmp_path, monkeypatch):
     monkeypatch.setattr(ri_mod, "render_image", spy_render)
     eval_driver.main(argv + ["--eval_data=test"])
     assert eval_fracs and all(f == 0.5 for f in eval_fracs)  # step 4 / 8
+
+
+def test_embedding_capacity_guard(tmp_path):
+    """More train images than embedding rows fails loudly (reference
+    train.py:113-117) — on TPU the lookup would otherwise silently clamp."""
+    import pytest as _pytest
+
+    import train as train_driver
+
+    scene = tmp_path / "scene"
+    make_fake_kubric_scene(str(scene))
+    extra = ["Model.num_glo_features = 4", "Model.num_embeddings = 2"]
+    argv = [f"--gin_bindings={b}"
+            for b in tiny_bindings(str(scene), str(tmp_path / "ckpt"), extra)]
+    with _pytest.raises(ValueError, match="Number of embeddings"):
+        train_driver.main(argv)

@@ -139,6 +139,20 @@ def main(argv=None):
             dataset = load_dataset("train", config.data_dir, config,
                                    is_training=True)
 
+        # Embedding tables are statically sized: more images than rows would
+        # silently clamp the lookup on TPU (the reference fails loudly,
+        # train.py:113-117) — so fail loudly here too.
+        mc, nc = config.model, config.nerfacto
+        uses_embeds = (mc.num_glo_features > 0
+                       or mc.num_transient_features > 0
+                       or (config.model_type in ("nerfacto", "nerf")
+                           and (nc.use_appearance_embedding
+                                or nc.use_transient_embedding)))
+        if uses_embeds and dataset.size > mc.num_embeddings:
+            raise ValueError(
+                f"Number of embeddings {mc.num_embeddings} must be at least "
+                f"equal to number of {stage} images {dataset.size}")
+
         state = checkpoints.restore_checkpoint(ckpt_dir, state)
         init_step = int(state.step) + 1
         state = mesh_lib.replicate(state, mesh)
