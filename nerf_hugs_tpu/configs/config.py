@@ -309,7 +309,7 @@ class Config:
     warmup_steps: int = 500
     lr_decay_mult: float = 1.0
     eval_render_every: int = 5000
-    eval_images_num: int = 2
+    eval_images_num: int = 4   # in-train eval window (config_utils.py:45)
     save_eval_render: bool = True
     save_weight_every: int = 25000
     save_test_render: bool = True

@@ -87,3 +87,78 @@ def test_lpips_torch_layout_conversion():
     model = lpips.LPIPS(params)  # loads into the arch without error
     img = np.zeros((64, 64, 3), np.float32)
     assert np.isfinite(float(model(img, img)))
+
+
+def test_eval_window_indices_rotation():
+    """Window semantics of reference nerfacto/train.py:241-296: start
+    advances by max(eval_images_num//2, 1) per event, wraps mod size."""
+    import train as train_driver
+
+    win = train_driver.eval_window_indices
+    # eval_images_num=2 (shipped configs): stride 1.
+    assert win(1, 5, 2) == [0, 1]
+    assert win(2, 5, 2) == [1, 2]
+    assert win(5, 5, 2) == [4, 0]
+    # Reference default 4: stride 2, window wraps.
+    assert win(1, 5, 4) == [0, 1, 2, 3]
+    assert win(2, 5, 4) == [2, 3, 4, 0]
+    # Window capped at dataset size.
+    assert win(1, 2, 4) == [0, 1]
+
+
+@pytest.mark.slow
+def test_yaml_train_uses_rotating_eval_window(tmp_path, monkeypatch):
+    """The yaml-dialect driver fetches the rotating window by index."""
+    import train as train_driver
+    from nerf_hugs_tpu.data import base as data_base
+
+    scene = tmp_path / "scene"
+    make_fake_kubric_scene(str(scene))
+    config = {
+        "base": {
+            "dataset_type": "kubric", "downsample_factor": 1,
+            "model_type": "nerfacto", "batch_size": 128,
+            "num_img_per_batch": 2, "num_steps": 4, "warmup_steps": 2,
+            "save_weight_every": 4, "eval_render_every": 2,
+            "eval_images_num": 2,
+            "render_chunk_size": 128, "near": 0.1, "far": 4.0,
+            "enable_amp": False, "bound": 2.0,
+            "enable_scene_contraction": False,
+            "train_background_color": "random",
+            "test_background_color": "gray",
+        },
+        "model": {
+            "num_proposal_iterations": 1,
+            "num_proposal_samples_per_ray": [8],
+            "num_nerf_samples_per_ray": 4,
+            "log2_hashmap_size": 12, "num_levels": 4, "max_res": 64,
+            "hidden_dim": 16, "hidden_dim_color": 16,
+            "proposal_net_args_list": [
+                {"base_res": 16, "hidden_dim": 8, "log2_hashmap_size": 11,
+                 "features_per_level": 2, "num_levels": 3, "max_res": 32}],
+            "rgb_loss_type": "mse",
+            "distortion_loss_mult": 0.0,
+        },
+    }
+    config_path = tmp_path / "tiny.yml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    import threading
+
+    fetched = []
+    real = data_base.Dataset.generate_ray_batch
+
+    def spy(self, idx):
+        # The dataset's prefetch daemon also fetches by index; only the
+        # driver's showcase calls run on the main thread.
+        if threading.current_thread() is threading.main_thread():
+            fetched.append(idx)
+        return real(self, idx)
+
+    monkeypatch.setattr(data_base.Dataset, "generate_ray_batch", spy)
+    train_driver.main(["--config", str(config_path), "--data_dir", str(scene),
+                       "--save_dir", str(tmp_path / "ckpt")])
+    # Events at steps 2 and 4 (2 test images): windows [0,1] then [1,0].
+    # (Dataset construction makes one extra main-thread fetch up front.)
+    assert fetched[-4:] == [0, 1, 1, 0]

@@ -28,6 +28,7 @@ Config.synthetic_width = 20
 Config.batch_size = 256
 Config.near = 0.5
 Config.far = 6.0
+Config.max_steps = 5
 Config.render_chunk_size = 256
 Model.num_prop_samples = 8
 Model.num_nerf_samples = 4

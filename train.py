@@ -59,6 +59,20 @@ def load_config_from_args(args):
     return config
 
 
+def eval_window_indices(event: int, dataset_size: int,
+                        eval_images_num: int) -> list:
+    """Rotating in-train eval window for the nerfacto stacks.
+
+    Event e (1-based) evaluates eval_images_num images starting at
+    (e-1) * max(eval_images_num // 2, 1), wrapping mod dataset_size —
+    reference nerfacto/train.py:241-296 (state.next_eval_idx), derived from
+    the event count so resume needs no persisted driver state."""
+    n_eval = min(eval_images_num, dataset_size)
+    stride = max(eval_images_num // 2, 1)
+    base = ((event - 1) * stride) % dataset_size
+    return [(base + i) % dataset_size for i in range(n_eval)]
+
+
 def main(argv=None):
     args = parse_args(argv)
     config = load_config_from_args(args)
@@ -266,20 +280,40 @@ def main(argv=None):
                 checkpoints.save_checkpoint(
                     ckpt_dir, jax.device_get(state), step)
 
-            # In-train showcase render (train.py:239-281).
+            # In-train showcase render. MipNeRF360 renders ONE rotating test
+            # image per event (reference MipNeRF360/train.py:239-281); the
+            # nerfacto stacks evaluate a rotating WINDOW of eval_images_num
+            # images whose start advances by eval_images_num//2 per event
+            # (reference nerfacto/train.py:241-296 next_eval_idx — derived
+            # here from the event count, so it is resume-stable without
+            # persisting driver state in the checkpoint).
             if config.train_render_every > 0 and (
                     step % config.train_render_every == 0
                     or step == num_steps):
-                test_batch = next(test_dataset)
-                rendering = render_image(
-                    render_eval_fn, test_batch.rays, float(train_frac),
-                    state.params, config, mesh)
-                if jax.process_index() == 0 and test_batch.rgb is not None:
-                    # Clip like eval.py: raw renderings can leave [0,1],
-                    # which would push SSIM above 1.
-                    metrics = metric_harness(
-                        jnp.clip(jnp.asarray(rendering["rgb"]), 0, 1),
-                        jnp.asarray(test_batch.rgb))
+                if config.model_type == "mipnerf360":
+                    test_batches = [next(test_dataset)]
+                else:
+                    idxs = eval_window_indices(
+                        step // config.train_render_every,
+                        test_dataset.size, config.eval_images_num)
+                    test_batches = [test_dataset.generate_ray_batch(i)
+                                    for i in idxs]
+                per_image = []
+                for test_batch in test_batches:
+                    rendering = render_image(
+                        render_eval_fn, test_batch.rays, float(train_frac),
+                        state.params, config, mesh)
+                    if jax.process_index() == 0 and test_batch.rgb is not None:
+                        # Clip like eval.py: raw renderings can leave [0,1],
+                        # which would push SSIM above 1.
+                        per_image.append(metric_harness(
+                            jnp.clip(jnp.asarray(rendering["rgb"]), 0, 1),
+                            jnp.asarray(test_batch.rgb)))
+                # `rendering` holds the LAST window image — pair its rays.
+                test_batch = test_batches[-1]
+                if jax.process_index() == 0 and per_image:
+                    metrics = {k: float(np.mean([m[k] for m in per_image]))
+                               for k in per_image[0]}
                     recorder.print(
                         f"[{stage}] {step}: eval "
                         + " ".join(f"{k}={v:.4f}"
