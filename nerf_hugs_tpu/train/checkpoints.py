@@ -32,13 +32,20 @@ def latest_step(directory: str) -> Optional[int]:
 
 def save_checkpoint(directory: str, state: Any, step: int,
                     keep: int = 100) -> None:
-    """Save the (unreplicated) TrainState; only process 0 writes."""
-    if jax.process_index() != 0:
-        return
-    os.makedirs(directory, exist_ok=True)
+    """Save the (unreplicated) TrainState.
+
+    EVERY process must call this: orbax's save performs global barriers
+    internally (and writes from the primary process only) — gating the call
+    on process_index deadlocks process 0 inside that barrier under
+    jax.distributed (found by the 2-process eval test). Retention cleanup is
+    filesystem-only and stays on process 0."""
+    if jax.process_index() == 0:
+        os.makedirs(directory, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         path = _ckpt_path(directory, step)
         ckptr.save(path, jax.device_get(state), force=True)
+    if jax.process_index() != 0:
+        return
     # Retention: drop oldest beyond `keep`.
     steps = sorted(int(m.group(1)) for name in os.listdir(directory)
                    if (m := _STEP_RE.match(name)))

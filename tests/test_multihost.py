@@ -47,6 +47,7 @@ def test_two_process_training_agrees(tmp_path):
     losses = []
     for pid, out in enumerate(outs):
         assert procs[pid].returncode == 0, f"worker {pid} failed:\n{out}"
+        assert "MH_EVAL_DONE" in out, f"worker {pid} eval incomplete:\n{out}"
         m = re.search(r"MH_LOSSES (\[.*\])", out)
         assert m, f"worker {pid} printed no losses:\n{out}"
         losses.append(m.group(1))
@@ -62,6 +63,13 @@ def test_two_process_training_agrees(tmp_path):
         img0 = np.load(f"{render_stem}{tag}_p0.npy")
         img1 = np.load(f"{render_stem}{tag}_p1.npy")
         np.testing.assert_array_equal(img0, img1)
+
+    # Multi-process eval.py wrote host-0 outputs: the polling broadcast,
+    # host-split renders, and metric files all completed on both processes.
+    import glob as _glob
+    metric_files = _glob.glob(f"{render_stem}_ckpt/metrics_test_*.txt")
+    assert metric_files, "multi-process eval wrote no metrics file"
+    assert "psnr" in open(metric_files[0]).read()
 
     # And the init-params multi-host render matches a single-process render
     # bit-for-bit (deterministic init; same jitted SPMD computation, only
