@@ -293,3 +293,33 @@ def test_embedding_capacity_guard(tmp_path):
             for b in tiny_bindings(str(scene), str(tmp_path / "ckpt"), extra)]
     with _pytest.raises(ValueError, match="Number of embeddings"):
         train_driver.main(argv)
+
+
+def test_train_resume_mid_finetune(tmp_path):
+    """Preemption during the FINETUNE stage: a rerun must resume finetune
+    from its last checkpoint (not restart it, not redo the train stage)."""
+    import shutil
+
+    import train as train_driver
+
+    scene = tmp_path / "scene"
+    ckpt = tmp_path / "ckpt"
+    make_fake_kubric_scene(str(scene))
+    extra = [
+        "Config.finetune_enable = True",
+        "Config.finetune_max_steps = 8",
+        "Config.finetune_batch_size = 128",
+        "Config.finetune_image_num_per_batch = 2",
+        "Model.num_glo_features = 4",
+        "Config.train_render_every = 0",
+        "Config.checkpoint_every = 4",
+    ]
+    argv = [f"--gin_bindings={b}"
+            for b in tiny_bindings(str(scene), str(ckpt), extra)]
+    train_driver.main(argv)
+    assert (ckpt / "finetune" / "checkpoint_8").exists()
+
+    # Preempted after finetune step 4: drop the final finetune checkpoint.
+    shutil.rmtree(ckpt / "finetune" / "checkpoint_8")
+    train_driver.main(argv)  # resumes finetune from 4, re-reaches 8
+    assert (ckpt / "finetune" / "checkpoint_8").exists()
