@@ -113,12 +113,18 @@ def main(argv=None):
                 f"no checkpoint yet under {config.checkpoint_dir}, sleeping")
             time.sleep(10)
             continue
-        if step == last_step:
+        # Dedupe on the EFFECTIVE step (finetune offsets by max_steps,
+        # reference eval.py:76): train and finetune checkpoints share bare
+        # step numbers, so tracking the bare step would treat a finetune
+        # checkpoint whose step equals the last evaluated train step as
+        # already seen and sleep forever.
+        effective_step = step + (config.max_steps if use_ft else 0)
+        if last_step is not None and effective_step <= last_step:
             if config.eval_only_once:
                 break
             time.sleep(10)
             continue
-        last_step = step
+        last_step = effective_step
         state = checkpoints.restore_params(ckpt_dir, state, step)
         recorder.print(f"Evaluating checkpoint step {step} from {ckpt_dir}")
         # Render mid-training checkpoints at the train_frac they were trained
@@ -215,16 +221,14 @@ def main(argv=None):
         # been evaluated (reference eval.py:244-249: early_exit_steps or
         # max_steps, with finetune steps offset by max_steps). Deliberate
         # deviation: with finetune enabled we wait for the LAST finetune
-        # checkpoint (max_steps + finetune_max_steps) — the reference
-        # breaks on the first one (any finetune step ≥ its max_steps
-        # bound), silently skipping the rest of the finetune schedule.
-        effective_step = step + (config.max_steps if use_ft else 0)
-        if config.early_exit_steps is not None:
-            final_step = config.early_exit_steps
+        # checkpoint (finetune runs its full finetune_max_steps even under
+        # early_exit_steps, train.py stage loop) — the reference breaks on
+        # the first one, silently skipping the rest of the schedule.
+        if config.finetune_enable:
+            done = use_ft and step >= config.finetune_max_steps
         else:
-            final_step = config.max_steps + (
-                config.finetune_max_steps if config.finetune_enable else 0)
-        if effective_step >= final_step:
+            done = step >= (config.early_exit_steps or config.max_steps)
+        if done:
             break
 
     recorder.print("evaluation complete")

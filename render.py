@@ -89,6 +89,18 @@ def create_videos(config, base_dir, out_dir, out_name, num_frames):
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
+def _claim_video_encode(out_dir: str) -> bool:
+    """Atomically claim the video-encode step (O_CREAT|O_EXCL): two sharded
+    jobs can both see the complete frame set within the settle window, and
+    concurrent ffmpeg runs on the same output paths corrupt the videos."""
+    try:
+        os.close(os.open(os.path.join(out_dir, ".videos_claimed"),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        return True
+    except FileExistsError:
+        return False
+
+
 def main(argv=None):
     args = parse_args(argv)
     from train import load_config_from_args
@@ -179,10 +191,17 @@ def main(argv=None):
         num_files = len(
             [n for n in os.listdir(out_dir)
              if n.startswith("color_") and n.endswith(".png")])
-        if num_files == dataset.size:
+        if num_files == dataset.size and _claim_video_encode(out_dir):
             print(f"All files found, creating videos "
                   f"(job {config.render_job_id}).")
-            create_videos(config, base_dir, out_dir, out_name, dataset.size)
+            try:
+                create_videos(config, base_dir, out_dir, out_name,
+                              dataset.size)
+            finally:
+                # Release so a later rerun can re-encode; only CONCURRENT
+                # encodes are unsafe. (A SIGKILL mid-encode leaves a stale
+                # claim — delete .videos_claimed to force a re-encode.)
+                os.unlink(os.path.join(out_dir, ".videos_claimed"))
 
     print("render complete")
 

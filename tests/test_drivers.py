@@ -323,3 +323,77 @@ def test_train_resume_mid_finetune(tmp_path):
     shutil.rmtree(ckpt / "finetune" / "checkpoint_8")
     train_driver.main(argv)  # resumes finetune from 4, re-reaches 8
     assert (ckpt / "finetune" / "checkpoint_8").exists()
+
+
+def test_eval_polling_evaluates_finetune_after_same_numbered_train_step(
+        tmp_path, monkeypatch):
+    """Train and finetune checkpoints share bare step numbers; polling eval
+    must still evaluate finetune/checkpoint_N after train checkpoint_N
+    (dedupe tracks the EFFECTIVE step) and then terminate."""
+    import shutil
+    import time as time_mod
+
+    import train as train_driver
+    import eval as eval_driver
+
+    scene = tmp_path / "scene"
+    ckpt = tmp_path / "ckpt"
+    make_fake_kubric_scene(str(scene))
+    extra = [
+        "Config.finetune_enable = True",
+        "Config.finetune_max_steps = 8",   # == max_steps: step collision
+        "Config.finetune_batch_size = 128",
+        "Config.finetune_image_num_per_batch = 2",
+        "Model.num_glo_features = 4",
+        "Config.train_render_every = 0",
+        "Config.eval_only_once = False",
+    ]
+    argv = [f"--gin_bindings={b}"
+            for b in tiny_bindings(str(scene), str(ckpt), extra)]
+    train_driver.main(argv)
+    assert (ckpt / "finetune" / "checkpoint_8").exists()
+
+    # Hide the finetune dir; the sleep hook restores it, standing in for a
+    # finetune stage that finishes while eval is polling.
+    hidden = tmp_path / "ft_hidden"
+    shutil.move(str(ckpt / "finetune"), str(hidden))
+    restored = []
+
+    def fake_sleep(sec):
+        if not restored:
+            shutil.move(str(hidden), str(ckpt / "finetune"))
+            restored.append(True)
+
+    monkeypatch.setattr(time_mod, "sleep", fake_sleep)
+    eval_driver.main(argv + ["--eval_data=test"])  # returns == terminated
+    assert restored, "eval terminated without ever polling again"
+    log = (ckpt / "run_log.log").read_text()
+    # Both the train checkpoint and the same-numbered finetune checkpoint
+    # were evaluated.
+    assert "Evaluating checkpoint step 8 from" in log
+    assert "finetune" in log.split("Evaluating checkpoint step 8 from")[-1] \
+        or log.count("Evaluating checkpoint step 8 from") == 2
+
+
+def test_embedding_capacity_guard_covers_finetune_offsets(tmp_path):
+    """The finetune stage trains on the TEST split whose embed indices are
+    offset by the train count — a table sized to the train set must fail."""
+    import pytest as _pytest
+
+    import train as train_driver
+
+    scene = tmp_path / "scene"
+    make_fake_kubric_scene(str(scene))  # 3 train + 2 test -> needs 5 rows
+    extra = [
+        "Config.finetune_enable = True",
+        "Config.finetune_max_steps = 4",
+        "Config.finetune_batch_size = 128",
+        "Config.finetune_image_num_per_batch = 2",
+        "Model.num_glo_features = 4",
+        "Model.num_embeddings = 3",        # covers train, not test offsets
+        "Config.train_render_every = 0",
+    ]
+    argv = [f"--gin_bindings={b}"
+            for b in tiny_bindings(str(scene), str(tmp_path / "ckpt"), extra)]
+    with _pytest.raises(ValueError, match="max embedding index"):
+        train_driver.main(argv)

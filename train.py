@@ -162,10 +162,19 @@ def main(argv=None):
                        or (config.model_type in ("nerfacto", "nerf")
                            and (nc.use_appearance_embedding
                                 or nc.use_transient_embedding)))
-        if uses_embeds and dataset.size > mc.num_embeddings:
+        # Compare against the max embed INDEX, not the image count: test
+        # splits (the finetune stage's data) offset their embed indices by
+        # the train-image count (kubric.py embed_offset), so a table sized
+        # to the train set would pass a size check yet clamp on lookups.
+        embed_idxs = getattr(dataset, "embed_idxs", None)
+        embeds_needed = (int(np.max(embed_idxs)) + 1
+                         if embed_idxs is not None and len(embed_idxs)
+                         else dataset.size)
+        if uses_embeds and embeds_needed > mc.num_embeddings:
             raise ValueError(
-                f"Number of embeddings {mc.num_embeddings} must be at least "
-                f"equal to number of {stage} images {dataset.size}")
+                f"Number of embeddings {mc.num_embeddings} must cover the "
+                f"{stage} split's max embedding index (needs "
+                f"{embeds_needed})")
 
         state = checkpoints.restore_checkpoint(ckpt_dir, state)
         init_step = int(state.step) + 1
@@ -293,9 +302,15 @@ def main(argv=None):
                 if config.model_type == "mipnerf360":
                     test_batches = [next(test_dataset)]
                 else:
+                    # Event number = count of triggers at or before `step`:
+                    # multiples of the cadence, plus the extra final-step
+                    # trigger when num_steps isn't one — without the +1 the
+                    # final trigger would repeat the previous window.
+                    event = step // config.train_render_every
+                    if step == num_steps and step % config.train_render_every:
+                        event += 1
                     idxs = eval_window_indices(
-                        step // config.train_render_every,
-                        test_dataset.size, config.eval_images_num)
+                        event, test_dataset.size, config.eval_images_num)
                     test_batches = [test_dataset.generate_ray_batch(i)
                                     for i in idxs]
                 per_image = []
