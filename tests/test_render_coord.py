@@ -223,3 +223,29 @@ def test_pos_enc_structure():
     enc = coord.pos_enc(x, 0, 4, append_identity=True)
     assert enc.shape == (1, 3 + 2 * 3 * 4)
     np.testing.assert_allclose(np.asarray(enc)[0, :3], np.asarray(x)[0])
+
+
+@pytest.mark.parametrize(
+    "name", [None, "piecewise", "reciprocal", "log", "exp", "sqrt", "square"])
+def test_ray_warps_all_config_variants(name):
+    """Every raydist_fn name a config can specify resolves and is a true
+    [t_near, t_far] <-> [0, 1] bijection (coord.py:63-99 fn zoo)."""
+    from nerf_hugs_tpu.configs import config as cfg
+
+    fn = cfg.resolve_raydist_fn(name)
+    t_near, t_far = jnp.array(0.1), jnp.array(50.0)
+    t_to_s, s_to_t = coord.construct_ray_warps(fn, t_near, t_far)
+    np.testing.assert_allclose(float(t_to_s(t_near)), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(t_to_s(t_far)), 1.0, atol=1e-6)
+    s = jnp.linspace(0.0, 1.0, 64)
+    t = np.asarray(s_to_t(s))
+    assert np.all(np.diff(t) > 0), f"{name}: s_to_t not monotone"
+    np.testing.assert_allclose(np.asarray(t_to_s(s_to_t(s))), np.asarray(s),
+                               atol=1e-4)
+
+
+def test_resolve_raydist_fn_rejects_unknown():
+    from nerf_hugs_tpu.configs import config as cfg
+
+    with pytest.raises(ValueError, match="unknown raydist_fn"):
+        cfg.resolve_raydist_fn("cubic")
