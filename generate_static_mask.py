@@ -20,6 +20,12 @@ Per image (reference :223-419):
 
 SAM weights must be provided on disk (--sam_checkpoint); this environment
 has no network egress to fetch them.
+
+Deliberate deviation: the reference's visualization column 4 reuses the
+BASE residual+SAM mask for the "upper" panel (generate_static_mask.py:289
+passes residual_mask_base_sam into fill_gap twice — a viz-only slip); we
+render the actual upper residual+SAM mask there. The saved static_masks/
+output is unaffected in both codebases.
 """
 
 from __future__ import annotations
