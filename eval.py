@@ -152,7 +152,9 @@ def main(argv=None):
                 continue
 
             rgb = np.clip(np.nan_to_num(rendering["rgb"]), 0, 1)
-            gt = None if batch.rgb is None else np.asarray(batch.rgb)
+            gt = None if batch.rgb is None else nh_image.composite_alpha(
+                np.asarray(batch.rgb),
+                nh_image.BACKGROUND_VALUES[config.test_background_color])
             name = (dataset.image_name(idx) if args.original_name
                     and hasattr(dataset, "image_name") else f"{idx:03d}")
 

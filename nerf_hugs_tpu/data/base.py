@@ -30,7 +30,10 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
     """Infinite iterator of Batch pytrees (train: random rays; test: images).
 
     Subclasses implement _load_renderings(config) and must set:
-      images:        list of [H, W, 3] float arrays in [0, 1]
+      images:        list of [H, W, 3] float arrays in [0, 1] ([H, W, 4]
+                     allowed for the nerfacto dialect: alpha rides into the
+                     batch and the loss composites the target against the
+                     model's per-batch background)
       static_masks:  list of [H, W, 1] float arrays in [0, 1]
       nears, fars:   lists of [H, W, 1] float arrays
       heights, widths, focals, embed_idxs: int/float [N] arrays
@@ -108,7 +111,10 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
 
         homogeneous_cams = (
             len({_distortion_key(d) for d in self.distortion_params}) == 1
-            and len(set(self.camtypes)) == 1)
+            and len(set(self.camtypes)) == 1
+            # The C++ sampler gathers fixed 3-float rgb rows; RGBA images
+            # (nerfacto-dialect blender/kubric) take the numpy path.
+            and all(im.shape[-1] == 3 for im in self.images or []))
         if is_training and not self.render_path and homogeneous_cams:
             try:
                 from nerf_hugs_tpu.data import native_sampler

@@ -46,8 +46,14 @@ class Blender(base.Dataset):
                 os.path.join(self.data_dir, frame["file_path"] + ".png")) / 255.0
             if config.factor > 1:
                 image = nh_image.downsample(image, config.factor)
-            rgb, alpha = image[..., :3], image[..., -1:]
-            image = rgb * alpha + (1.0 - alpha)  # white background
+            if image.shape[-1] == 4 and config.model_type == "mipnerf360":
+                # mipnerf360 stack: white composite at load
+                # (datasets.py:598-600). The nerfacto dialect keeps RGBA
+                # and composites the target against the model's per-batch
+                # background in the loss (nerfacto/datasets/blender.py:98
+                # keeps channels; base.py:221-224 composites).
+                rgb, alpha = image[..., :3], image[..., -1:]
+                image = rgb * alpha + (1.0 - alpha)  # white background
             height, width = image.shape[:2]
 
             mask_path = os.path.join(mask_dir, f"{frame['file_path']}.png")

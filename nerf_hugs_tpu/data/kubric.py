@@ -101,7 +101,13 @@ class Kubric(base.Dataset):
             camtoworld[:3, 3] *= scene_scale
 
             image = nh_io.load_img(os.path.join(image_dir, f"{name}.png")) / 255.0
-            if image.shape[-1] == 4:  # white background composite
+            if image.shape[-1] == 4 and config.model_type == "mipnerf360":
+                # The mipnerf360 stack composites white at load
+                # (datasets.py:1074-1076); the nerfacto dialect keeps the
+                # alpha channel and composites the target against the
+                # model's per-batch background in the loss
+                # (nerfacto/datasets/base.py:221-224, kubric.py keeps
+                # channels as loaded).
                 image = image[..., :3] * image[..., -1:] + (1.0 - image[..., -1:])
             height, width = image.shape[:2]
 

@@ -41,6 +41,19 @@ def _combine_levels(data_losses, config):
             config.data_loss_mult * data_losses[-1])
 
 
+def target_rgb(batch, rendering):
+    """Ground-truth rgb for a loss term. RGBA targets (the nerfacto dialect
+    keeps blender/kubric alpha channels, nerfacto/datasets/blender.py:98)
+    are composited against the SAME per-ray background the model rendered
+    over (rendering['bg_rgb']) — reference nerfacto/datasets/base.py:221-224
+    does this in the dataloader with the batch's bg_rgb."""
+    rgb = batch.rgb
+    if rgb.shape[-1] == 4:
+        alpha = rgb[..., 3:]
+        return rgb[..., :3] * alpha + rendering["bg_rgb"] * (1.0 - alpha)
+    return rgb[..., :3]
+
+
 def compute_data_loss(batch, rays, renderings, config, use_static_mask):
     """Weighted mse/charb over all levels; withmask folds the HuGS mask into
     the per-ray weight (train_utils.py:72-111)."""
@@ -58,7 +71,7 @@ def compute_data_loss(batch, rays, renderings, config, use_static_mask):
                 lossmult = jnp.ones_like(lossmult)
         lossmult = jnp.broadcast_to(lossmult, batch.rgb[..., :3].shape)
 
-        resid_sq = (rendering["rgb"] - batch.rgb[..., :3]) ** 2
+        resid_sq = (rendering["rgb"] - target_rgb(batch, rendering)) ** 2
         denom = jnp.maximum(lossmult.sum(), jnp.finfo(lossmult.dtype).eps)
         stats["mses"].append((lossmult * resid_sq).sum() / denom)
         data_loss = _per_level_data_loss(resid_sq, config)
@@ -138,7 +151,7 @@ def compute_robustnerf_loss(batch, renderings, inlier_thresholds, config):
     data_losses = []
     stats = collections.defaultdict(list)
     for i, rendering in enumerate(renderings):
-        resid_sq = (rendering["rgb"] - batch.rgb[..., :3]) ** 2
+        resid_sq = (rendering["rgb"] - target_rgb(batch, rendering)) ** 2
         data_loss = _per_level_data_loss(resid_sq, config)
 
         errors = jax.lax.stop_gradient(
@@ -170,7 +183,7 @@ def compute_nerfw_loss(batch, renderings, ray_history, config):
 
     for i, rendering in enumerate(renderings):
         pred = rendering.get("rgb_combined", rendering["rgb"])
-        resid_sq = (pred - batch.rgb[..., :3]) ** 2
+        resid_sq = (pred - target_rgb(batch, rendering)) ** 2
         data_loss = _per_level_data_loss(resid_sq, config)
         if i == len(renderings) - 1:
             losses["beta"] = (config.nerfw_beta_loss_mult *
@@ -201,7 +214,7 @@ def compute_hanerf_loss(batch, renderings, train_frac, config):
     stats["implicit_mask"].append(implicit_mask.mean())
 
     for i, rendering in enumerate(renderings):
-        resid_sq = (rendering["rgb"] - batch.rgb[..., :3]) ** 2
+        resid_sq = (rendering["rgb"] - target_rgb(batch, rendering)) ** 2
         data_loss = _per_level_data_loss(resid_sq, config)
         if i == len(renderings) - 1:
             data_loss = (1.0 - implicit_mask) * data_loss

@@ -20,6 +20,22 @@ from nerf_hugs_tpu.metrics.ssim import ssim
 _Array = Union[np.ndarray, jnp.ndarray]
 
 
+# nerfacto/datasets/base.py:199-208 background palette ('random' is only
+# meaningful at train time; 0.5 stands in for deterministic consumers).
+BACKGROUND_VALUES = {"white": 1.0, "gray": 0.5, "black": 0.0, "random": 0.5}
+
+
+def composite_alpha(image: np.ndarray, background: float) -> np.ndarray:
+    """Composite an RGBA image over a constant background; passes 3-channel
+    images through. The nerfacto dialect keeps alpha channels in GT images
+    (nerfacto/datasets/blender.py:98) and its eval composites them against
+    config.test_background_color (base.py:57-58, 221-224)."""
+    if image.shape[-1] != 4:
+        return image[..., :3]
+    alpha = image[..., 3:]
+    return image[..., :3] * alpha + background * (1.0 - alpha)
+
+
 def mse_to_psnr(mse):
     """PSNR for max pixel value 1."""
     return -10.0 / jnp.log(10.0) * jnp.log(mse)

@@ -394,6 +394,11 @@ class NerfactoModel(nn.Module):
                 rendering = render.volumetric_rendering(
                     field_outputs["rgb"], weights, tdist, bg_rgbs, rays.far,
                     compute_extras)
+                if not deterministic:
+                    # Exposed so the loss can composite RGBA targets against
+                    # the same background (nerfacto/datasets/base.py:221-224);
+                    # training-only — eval never reads it.
+                    rendering["bg_rgb"] = bg_rgbs
                 if "density_transient" in field_outputs:
                     w_s, w_t, w_c = render.compute_dual_alpha_weights(
                         field_outputs["density"],

@@ -148,6 +148,13 @@ class VanillaNerfModel(nn.Module):
             [jnp.zeros_like(rays.near), jnp.ones_like(rays.far)], axis=-1)
         weights = jnp.ones_like(rays.near)
 
+        # One background per ray, shared by the coarse and fine composites
+        # AND exposed for target compositing — the reference draws bg_rgb
+        # once per batch in the dataloader (nerfacto/datasets/base.py:199-224)
+        # and nerf.py renders both fields over it.
+        bg_key, rng = _random_split(rng)
+        bg_rgbs = self._background(bg_key, rays.origins.shape[:-1] + (3,))
+
         renderings, ray_history = [], []
         for field_type in ["coarse", "fine"]:
             num_samples = (nc.num_coarse_nerf_samples_per_ray
@@ -200,11 +207,11 @@ class VanillaNerfModel(nn.Module):
                 cumulative_from_first=nc.legacy_cumulative_deltas)
             weights = jnp.nan_to_num(weights)
 
-            bg_key, rng = _random_split(rng)
-            bg_rgbs = self._background(bg_key, weights.shape[:-1] + (3,))
             rendering = render.volumetric_rendering(
                 field_outputs["rgb"], weights, tdist, bg_rgbs, rays.far,
                 compute_extras)
+            if rng is not None:
+                rendering["bg_rgb"] = bg_rgbs  # training-only, for the loss
             history = {"sdist": sdist, "weights": weights,
                        "density": field_outputs["density"]}
             if "density_transient" in field_outputs:

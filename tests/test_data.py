@@ -70,7 +70,7 @@ def test_sample_from_half_image():
     assert np.all(batch.rays.pix_coords[..., 0] <= 0.5 + 1e-6)
 
 
-def make_fake_kubric_scene(root):
+def make_fake_kubric_scene(root, rgba=False):
     """Minimal kubric directory tree with 3 train / 2 test frames."""
     from PIL import Image
     rng = np.random.RandomState(0)
@@ -88,8 +88,13 @@ def make_fake_kubric_scene(root):
         json.dump({"val_ids": ["10000", "10001"]}, f)
 
     def write_frame(img_dir, cam_dir, name):
-        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
-        Image.fromarray(img).save(f"{img_dir}/{name}.png")
+        if rgba:
+            img = (rng.rand(h, w, 4) * 255).astype(np.uint8)
+            img[..., 3] = (rng.rand(h, w) > 0.3).astype(np.uint8) * 255
+            Image.fromarray(img, "RGBA").save(f"{img_dir}/{name}.png")
+        else:
+            img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(f"{img_dir}/{name}.png")
         cam = {
             "orientation": np.eye(3).tolist(),
             "position": rng.randn(3).tolist(),
@@ -160,6 +165,49 @@ def test_blender_loader(tmp_path):
     np.testing.assert_allclose(tb.rgb[zero_a], 1.0, atol=1e-6)
     # Train/test embeddings are disjoint: test offsets by the train count.
     assert int(tb.rays.embed_idx[0, 0, 0]) == 3
+
+
+def test_blender_loader_nerfacto_keeps_alpha(tmp_path):
+    """The nerfacto dialect keeps RGBA so the loss can composite the target
+    against the model's per-batch background (nerfacto/datasets/blender.py:98
+    keeps channels; base.py:221-224 composites)."""
+    h, w = make_fake_blender_scene(str(tmp_path))
+    config = make_config(dataset_loader="blender", model_type="nerfacto",
+                         factor=1, batch_size=64, image_num_per_batch=2,
+                         near=2.0, far=6.0)
+    ds = load_dataset("train", str(tmp_path), config)
+    batch = next(ds)
+    assert batch.rgb.shape == (64, 4)
+    tb = next(load_dataset("test", str(tmp_path), config))
+    assert tb.rgb.shape == (h, w, 4)
+    # Raw values survive: zero-alpha pixels keep their stored rgb (no white
+    # composite at load).
+    from PIL import Image
+    rgba = np.asarray(Image.open(f"{tmp_path}/test/r_0.png")) / 255.0
+    zero_a = rgba[..., 3] == 0.0
+    np.testing.assert_allclose(np.asarray(tb.rgb)[zero_a][:, :3],
+                               rgba[zero_a][:, :3], atol=1e-6)
+
+
+def test_kubric_loader_rgba_by_dialect(tmp_path):
+    """RGBA kubric drops: white-composited for mipnerf360 (datasets.py:
+    1074-1076), kept 4-channel for the nerfacto dialect."""
+    h, w = make_fake_kubric_scene(str(tmp_path), rgba=True)
+    base_kw = dict(dataset_loader="kubric", factor=1, batch_size=64,
+                   image_num_per_batch=2)
+    tb = next(load_dataset(
+        "test", str(tmp_path), make_config(model_type="mipnerf360",
+                                           **base_kw)))
+    assert tb.rgb.shape == (h, w, 3)
+    tb4 = next(load_dataset(
+        "test", str(tmp_path), make_config(model_type="nerfacto",
+                                           **base_kw)))
+    assert tb4.rgb.shape == (h, w, 4)
+    # The mipnerf360 composite is exactly rgb*a + (1-a).
+    np.testing.assert_allclose(
+        np.asarray(tb.rgb),
+        np.asarray(tb4.rgb[..., :3] * tb4.rgb[..., 3:]
+                   + (1.0 - tb4.rgb[..., 3:])), atol=1e-6)
 
 
 def test_kubric_loader(tmp_path):

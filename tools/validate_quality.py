@@ -152,8 +152,12 @@ def run_exact_config(args):
         batch = test_ds.generate_ray_batch(idx)
         rendering = render_image(render_fn, batch.rays, 1.0, params,
                                  config, mesh)
+        from nerf_hugs_tpu.metrics import image as nh_image
         m = harness(jnp.asarray(np.clip(rendering["rgb"], 0, 1)),
-                    jnp.asarray(batch.rgb))
+                    jnp.asarray(nh_image.composite_alpha(
+                        np.asarray(batch.rgb),
+                        nh_image.BACKGROUND_VALUES[
+                            config.test_background_color])))
         psnrs.append(float(m["psnr"]))
         ssims.append(float(m["ssim"]))
     print(f"RESULT config={tag} steps={steps} "
@@ -289,8 +293,12 @@ def run_legacy(model_type: str, steps: int, amp: bool):
         batch = test_ds.generate_ray_batch(idx)
         rendering = render_image(render_fn, batch.rays, 1.0, state.params,
                                  config, mesh)
+        from nerf_hugs_tpu.metrics import image as nh_image
         mse = float(np.mean((np.clip(rendering["rgb"], 0, 1)
-                             - np.asarray(batch.rgb)) ** 2))
+                             - nh_image.composite_alpha(
+                                 np.asarray(batch.rgb),
+                                 nh_image.BACKGROUND_VALUES[
+                                     config.test_background_color])) ** 2))
         psnrs.append(-10 * np.log10(mse))
     print(f"RESULT {model_type} amp={amp} steps={steps} "
           f"test_psnr={np.mean(psnrs):.2f} per_image="

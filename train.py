@@ -323,7 +323,10 @@ def main(argv=None):
                         # which would push SSIM above 1.
                         per_image.append(metric_harness(
                             jnp.clip(jnp.asarray(rendering["rgb"]), 0, 1),
-                            jnp.asarray(test_batch.rgb)))
+                            jnp.asarray(nh_image.composite_alpha(
+                                np.asarray(test_batch.rgb),
+                                nh_image.BACKGROUND_VALUES[
+                                    config.test_background_color]))))
                 # `rendering` holds the LAST window image — pair its rays.
                 test_batch = test_batches[-1]
                 if jax.process_index() == 0 and per_image:
