@@ -55,24 +55,9 @@ run deinterleave_off 3600 env NERF_HUGS_MXU_DEINTERLEAVE=0 \
     python tools/bench_nerfacto.py configs/nerfacto/kubric_nerfacto_base.yml
 run deinterleave_on 3600 env NERF_HUGS_MXU_DEINTERLEAVE=1 \
     python tools/bench_nerfacto.py configs/nerfacto/kubric_nerfacto_base.yml
-run hugs_rehearsal 7200 python tools/rehearse_hugs_scale.py \
-    --work_dir "$Q/hugs_rehearsal"
-
-# --- VERDICT r3 #1: flagship-width nerfw / hanerf / base on the poisoned
-# scene (3000 steps each; factor=2 binding because the distractor gins'
-# factor=8 would shrink the 192x256 synthetic scene to 24x32; the base
-# anchor needs --distractor or validate_quality picks the CLEAN scene). ---
-run nerfw_flagship 10800 python tools/validate_quality.py \
-    --config configs/mipnerf360/distractor_1024_glo4_nerfw.gin \
-    --steps 3000 --save-dir "$Q/nerfw" \
-    --binding "Config.factor = 2" --binding "Model.remat_mlp = True"
-run hanerf_flagship 10800 python tools/validate_quality.py \
-    --config configs/mipnerf360/distractor_1024_glo4_hanerf.gin \
-    --steps 3000 --save-dir "$Q/hanerf" \
-    --binding "Config.factor = 2" --binding "Model.remat_mlp = True"
-run base_flagship 10800 python tools/validate_quality.py \
-    --config configs/mipnerf360/distractor_1024_glo4_base.gin \
-    --steps 3000 --save-dir "$Q/base" --distractor \
-    --binding "Config.factor = 2" --binding "Model.remat_mlp = True"
+# The ~45-min jobs (flagship nerfw/hanerf/base distractor runs, HuGS vit_h
+# rehearsal) live in tools/tpu_queue_r4_long.sh, which gates on the driver's
+# round-boundary bench (BENCH_r04.json) AND on this queue's completion
+# marker below, so the single chip never serves two clients at once.
 
 echo "$(date -u +%FT%TZ) QUEUE COMPLETE" >> "$Q/q/queue.log"
