@@ -212,9 +212,14 @@ def main(argv=None):
                     for k in all_metrics[0]}
             recorder.print("mean: " + " ".join(
                 f"{k}={v:.4f}" for k, v in mean.items()))
+            # Finetune checkpoints share bare step numbers with train ones
+            # (both count from 0), so mark the stage in the filename or the
+            # finetune summary overwrites the train-stage summary.
+            stage = "finetune_" if use_ft else ""
             with open(os.path.join(
                     config.checkpoint_dir,
-                    f"metrics_{config.eval_data}_{step}.txt"), "w") as f:
+                    f"metrics_{config.eval_data}_{stage}{step}.txt"),
+                    "w") as f:
                 for k, v in mean.items():
                     f.write(f"{k} {v}\n")
         if config.eval_only_once:
@@ -229,7 +234,11 @@ def main(argv=None):
         if config.finetune_enable:
             done = use_ft and step >= config.finetune_max_steps
         else:
-            done = step >= (config.early_exit_steps or config.max_steps)
+            # Mirror train.py's num_steps = min(max_steps, early_exit_steps):
+            # an early_exit_steps LARGER than max_steps never produces a
+            # checkpoint at that step, so `or` alone would poll forever.
+            done = step >= min(config.max_steps,
+                               config.early_exit_steps or config.max_steps)
         if done:
             break
 

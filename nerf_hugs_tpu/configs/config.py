@@ -22,6 +22,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, List, Optional, Tuple
 
+# Canonical {train,test}_background_color palette (nerfacto/datasets/
+# base.py:199-208; 'random' stands in as 0.5 for deterministic consumers).
+# Single source of truth: the models' _background methods AND the GT
+# compositing in eval/train/validate_quality must composite over the SAME
+# value or every metric is silently skewed.
+BACKGROUND_VALUES = {"white": 1.0, "gray": 0.5, "black": 0.0, "random": 0.5}
+
 
 @dataclasses.dataclass
 class MLPConfig:

@@ -138,6 +138,11 @@ class SyntheticAppearance(Synthetic):
 
     def _load_renderings(self, config):
         super()._load_renderings(config)
+        if self.images is None:
+            # render.py path mode: _apply_render_path (called by super())
+            # replaced the split cameras with path poses and nulled the
+            # images/embed_idxs — there is nothing to tint or offset.
+            return
         n = len(self.images)
         test_split = self.split == structs.DataSplit.TEST
         # Rows [n_train, n_train+n_test) for the test split. Both splits

@@ -15,14 +15,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nerf_hugs_tpu.configs import config as _config
 from nerf_hugs_tpu.metrics.ssim import ssim
 
 _Array = Union[np.ndarray, jnp.ndarray]
 
 
-# nerfacto/datasets/base.py:199-208 background palette ('random' is only
-# meaningful at train time; 0.5 stands in for deterministic consumers).
-BACKGROUND_VALUES = {"white": 1.0, "gray": 0.5, "black": 0.0, "random": 0.5}
+# Re-exported canonical background palette (single source of truth in
+# configs/config.py — the models' _background draws from the same table).
+BACKGROUND_VALUES = _config.BACKGROUND_VALUES
 
 
 def composite_alpha(image: np.ndarray, background: float) -> np.ndarray:

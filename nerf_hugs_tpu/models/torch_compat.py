@@ -123,10 +123,16 @@ def torch_load_checkpoint(path: str):
     """torch.load with weights_only=True first (released snapshots are plain
     tensor state dicts + ints); fall back to full unpickling with a warning
     only if the safe path rejects the file."""
+    import pickle
+
     import torch
     try:
         return torch.load(path, map_location="cpu", weights_only=True)
-    except Exception as e:  # pickle.UnpicklingError or _pickle variants
+    except (pickle.UnpicklingError, RuntimeError) as e:
+        # Only the safe loader's REJECTION falls back (torch raises
+        # UnpicklingError or RuntimeError for disallowed globals depending
+        # on version); missing/unreadable files (OSError) propagate — the
+        # unsafe retry would fail identically with a misleading warning.
         import warnings
         warnings.warn(
             f"weights_only load of {path} failed ({type(e).__name__}: {e}); "

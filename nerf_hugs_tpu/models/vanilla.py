@@ -249,8 +249,7 @@ class VanillaNerfModel(nn.Module):
                  else self.config.test_background_color)
         if color == "random" and rng is not None:
             return jax.random.uniform(rng, shape)
-        table = {"white": 1.0, "gray": 0.5, "black": 0.0, "random": 0.5}
-        return jnp.full(shape, table[color])
+        return jnp.full(shape, cfg.BACKGROUND_VALUES[color])
 
 
 def construct_model(rng, rays: structs.Rays, config):

@@ -191,17 +191,24 @@ def main(argv=None):
         num_files = len(
             [n for n in os.listdir(out_dir)
              if n.startswith("color_") and n.endswith(".png")])
-        if num_files == dataset.size and _claim_video_encode(out_dir):
-            print(f"All files found, creating videos "
-                  f"(job {config.render_job_id}).")
-            try:
-                create_videos(config, base_dir, out_dir, out_name,
-                              dataset.size)
-            finally:
-                # Release so a later rerun can re-encode; only CONCURRENT
-                # encodes are unsafe. (A SIGKILL mid-encode leaves a stale
-                # claim — delete .videos_claimed to force a re-encode.)
-                os.unlink(os.path.join(out_dir, ".videos_claimed"))
+        if num_files == dataset.size:
+            if _claim_video_encode(out_dir):
+                print(f"All files found, creating videos "
+                      f"(job {config.render_job_id}).")
+                try:
+                    create_videos(config, base_dir, out_dir, out_name,
+                                  dataset.size)
+                finally:
+                    # Release so a later rerun can re-encode; only
+                    # CONCURRENT encodes are unsafe.
+                    os.unlink(os.path.join(out_dir, ".videos_claimed"))
+            else:
+                # A peer job holds the claim — or a kill mid-encode left a
+                # stale one (SIGKILL skips the finally). Say so instead of
+                # silently skipping the videos on every rerun.
+                print(f"video encode already claimed by another job "
+                      f"({os.path.join(out_dir, '.videos_claimed')}); "
+                      f"delete that file and rerun to force a re-encode")
 
     print("render complete")
 

@@ -45,6 +45,19 @@ def test_ellipse_path_poses():
     assert not np.allclose(dataset.camtoworlds[0], dataset.camtoworlds[1])
 
 
+def test_ellipse_path_poses_appearance_loader():
+    # SyntheticAppearance post-processes self.images after the base loader
+    # ran _apply_render_path (which nulls them) — regression: path mode
+    # crashed with len(None) instead of skipping the tint.
+    config = path_config(dataset_loader="synthetic_appearance")
+    dataset = load_dataset("test", "", config, is_training=False)
+    assert dataset.size == 6
+    assert dataset.images is None
+    batch = dataset.generate_ray_batch(2)
+    assert batch.rgb is None
+    assert np.all(np.isfinite(batch.rays.origins))
+
+
 def test_spline_keyframe_path_poses(tmp_path):
     # Pick keyframes by image name from the same loader without a path.
     plain = load_dataset("test", "", path_config(render_path=False),

@@ -29,9 +29,19 @@ if [ -f /root/repo/BENCH_r04.json ]; then
     >> "$Q/q/queue_long.log"
   sleep 180
 fi
-# Also wait for the short queue to be fully drained (it writes QUEUE COMPLETE).
+# Also wait for the short queue to be fully drained. Key on its per-job
+# .done markers, NOT the append-only queue.log: a previous pass's
+# "QUEUE COMPLETE" line would open the gate while a relaunched short queue
+# is still re-running failed jobs — two clients on the one chip.
+short_drained() {
+  local j
+  for j in bench fwdcopy deinterleave_off deinterleave_on; do
+    [ -f "$Q/q/$j.done" ] || return 1
+  done
+  return 0
+}
 SHORT_T0=$(date +%s)
-while ! grep -q "QUEUE COMPLETE" "$Q/q/queue.log" 2>/dev/null; do
+while ! short_drained; do
   if [ $(( $(date +%s) - SHORT_T0 )) -ge 7200 ]; then
     echo "$(date -u +%FT%TZ) short-queue wait timeout; proceeding" \
       >> "$Q/q/queue_long.log"

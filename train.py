@@ -300,7 +300,7 @@ def main(argv=None):
                     step % config.train_render_every == 0
                     or step == num_steps):
                 if config.model_type == "mipnerf360":
-                    test_batches = [next(test_dataset)]
+                    window = [None]  # one next(test_dataset) fetch
                 else:
                     # Event number = count of triggers at or before `step`:
                     # multiples of the cadence, plus the extra final-step
@@ -309,12 +309,15 @@ def main(argv=None):
                     event = step // config.train_render_every
                     if step == num_steps and step % config.train_render_every:
                         event += 1
-                    idxs = eval_window_indices(
-                        event, test_dataset.size, config.eval_images_num)
-                    test_batches = [test_dataset.generate_ray_batch(i)
-                                    for i in idxs]
+                    window = list(eval_window_indices(
+                        event, test_dataset.size, config.eval_images_num))
                 per_image = []
-                for test_batch in test_batches:
+                # Fetch one full-image batch per iteration (not the whole
+                # window up front): at flagship/phototourism resolutions a
+                # materialized window is hundreds of MB of host RAM.
+                for widx in window:
+                    test_batch = (next(test_dataset) if widx is None else
+                                  test_dataset.generate_ray_batch(widx))
                     rendering = render_image(
                         render_eval_fn, test_batch.rays, float(train_frac),
                         state.params, config, mesh)
@@ -327,8 +330,8 @@ def main(argv=None):
                                 np.asarray(test_batch.rgb),
                                 nh_image.BACKGROUND_VALUES[
                                     config.test_background_color]))))
-                # `rendering` holds the LAST window image — pair its rays.
-                test_batch = test_batches[-1]
+                # `rendering`/`test_batch` hold the LAST window image; the
+                # vis suite below pairs its rays.
                 if jax.process_index() == 0 and per_image:
                     metrics = {k: float(np.mean([m[k] for m in per_image]))
                                for k in per_image[0]}
