@@ -41,6 +41,20 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def polling_done(config, use_ft: bool, step: int) -> bool:
+    """Whether the polling loop has evaluated the final expected checkpoint
+    (reference eval.py:244-249). With finetune enabled we wait for the LAST
+    finetune checkpoint — deliberate deviation: the reference breaks on the
+    first one, silently skipping the rest of the schedule. Without it,
+    mirror train.py's num_steps = min(max_steps, early_exit_steps): an
+    early_exit_steps LARGER than max_steps never produces a checkpoint at
+    that step, so `or` alone would poll forever."""
+    if config.finetune_enable:
+        return use_ft and step >= config.finetune_max_steps
+    return step >= min(config.max_steps,
+                       config.early_exit_steps or config.max_steps)
+
+
 def main(argv=None):
     args = parse_args(argv)
     from train import load_config_from_args
@@ -224,22 +238,7 @@ def main(argv=None):
                     f.write(f"{k} {v}\n")
         if config.eval_only_once:
             break
-        # Polling mode terminates once the final expected checkpoint has
-        # been evaluated (reference eval.py:244-249: early_exit_steps or
-        # max_steps, with finetune steps offset by max_steps). Deliberate
-        # deviation: with finetune enabled we wait for the LAST finetune
-        # checkpoint (finetune runs its full finetune_max_steps even under
-        # early_exit_steps, train.py stage loop) — the reference breaks on
-        # the first one, silently skipping the rest of the schedule.
-        if config.finetune_enable:
-            done = use_ft and step >= config.finetune_max_steps
-        else:
-            # Mirror train.py's num_steps = min(max_steps, early_exit_steps):
-            # an early_exit_steps LARGER than max_steps never produces a
-            # checkpoint at that step, so `or` alone would poll forever.
-            done = step >= min(config.max_steps,
-                               config.early_exit_steps or config.max_steps)
-        if done:
+        if polling_done(config, use_ft, step):
             break
 
     recorder.print("evaluation complete")

@@ -140,3 +140,27 @@ def test_fwd_descriptor_floor_counts(monkeypatch):
                        + samples_prop * int(prop.dense_level().sum()))
     assert dense_saved > 0
     assert n_paired == n_unpaired - dense_saved
+
+
+def test_eval_polling_done_matrix():
+    """eval.polling_done mirrors train.py's stop step and waits for the
+    LAST finetune checkpoint (not the first, like the reference)."""
+    from eval import polling_done
+    from nerf_hugs_tpu.configs.config import Config
+
+    c = Config(max_steps=100, early_exit_steps=None)
+    assert not polling_done(c, False, 99)
+    assert polling_done(c, False, 100)
+    # early_exit_steps below max_steps stops there...
+    c = Config(max_steps=100, early_exit_steps=40)
+    assert polling_done(c, False, 40)
+    assert not polling_done(c, False, 39)
+    # ...but an OVERSIZED early_exit_steps must not poll past the last
+    # checkpoint train.py actually writes (min(max_steps, early_exit)).
+    c = Config(max_steps=100, early_exit_steps=10_000)
+    assert polling_done(c, False, 100)
+    # Finetune: only a finetune checkpoint at finetune_max_steps ends it.
+    c = Config(max_steps=100, finetune_enable=True, finetune_max_steps=50)
+    assert not polling_done(c, False, 100)
+    assert not polling_done(c, True, 49)
+    assert polling_done(c, True, 50)
