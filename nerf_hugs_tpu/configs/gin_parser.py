@@ -6,6 +6,16 @@ with sections Config / Model / NerfMLP / PropMLP / MLP and # comments
 (see MipNeRF360/configs/*.gin). This module parses exactly that subset into
 the unified configs.config.Config, including multi-file layering and
 `--gin_bindings`-style override strings.
+
+DELIBERATE LIMITATION — no gin config scopes. The reference wraps its
+drivers in `gin.config_scope('train')` / `('eval')`
+(MipNeRF360/train.py:290, eval.py:254), which would let a config carry
+`train/Config.foo` vs `eval/Config.foo` bindings. None of the 19 shipped
+reference gin files (nor ours) uses a scoped binding, so the scope wrappers
+are dead machinery for the in-tree surface; this parser does not implement
+them and REJECTS `scope/Section.field` lines with a loud error (below)
+rather than silently misbinding. If a future config needs per-driver
+values, add explicit Config fields (e.g. the existing eval_* twins).
 """
 
 from __future__ import annotations
@@ -86,6 +96,11 @@ def apply_binding(config: Config, binding: str) -> None:
     """Apply one 'Section.field = value' binding to the config in place."""
     m = re.match(r"^([A-Za-z_][\w]*)\.([\w]+)\s*=\s*(.+)$", binding.strip())
     if not m:
+        if re.match(r"^[\w]+/[\w]", binding.strip()):
+            raise GinParseError(
+                f"gin config scopes are not supported: {binding!r} — no "
+                "shipped config uses scoped bindings (see module docstring); "
+                "use an explicit Config field instead")
         raise GinParseError(f"unparseable gin binding: {binding!r}")
     section, field, raw_value = m.groups()
     if section not in _SECTION_ATTR:

@@ -87,9 +87,15 @@ def _mxu_deinterleave_enabled() -> bool:
     on the MXU (the backward segment-sum trick applied to the forward,
     tools/bench_fwd_copies.py candidate E) instead of strided vals[:, j]
     reads, whose row->column conversion copies cost ~160 ms/step at
-    kubric_nerfacto_base shapes (docs/tpu_gather_cost_model.md). Default
-    OFF until the end-to-end win is measured; NERF_HUGS_MXU_DEINTERLEAVE=1
-    enables."""
+    kubric_nerfacto_base shapes (docs/tpu_gather_cost_model.md).
+
+    MEASURED DEAD END (round-4 TPU A/B, .runs_r4/q/deinterleave_*.log):
+    end-to-end kubric_nerfacto_base 2.827 -> 3.461 s/step (+22%) with ON —
+    the one-hot selection matmuls cost more than the strided copies they
+    replace (docs/tpu_gather_cost_model.md, "MXU de-interleave" section).
+    The gate stays default OFF as a documented negative; the correctness
+    test (tests/test_ops.py::test_hashgrid_mxu_deinterleave_matches_default)
+    keeps the path honest. Do not enable in production."""
     import os
     return os.environ.get("NERF_HUGS_MXU_DEINTERLEAVE", "0") == "1"
 

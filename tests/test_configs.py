@@ -57,6 +57,16 @@ def test_gin_bindings_override():
     assert config.finetune_batch_size == 1024
 
 
+def test_gin_scoped_bindings_rejected_loudly():
+    # The reference wraps its drivers in gin.config_scope('train'/'eval')
+    # (MipNeRF360/train.py:290, eval.py:254) but no shipped config uses a
+    # scoped binding; the parser deliberately rejects them instead of
+    # silently misbinding (gin_parser module docstring).
+    with pytest.raises(gin_parser.GinParseError, match="scopes"):
+        gin_parser.parse_gin_configs(
+            [], bindings=["train/Config.batch_size = 1024"])
+
+
 def test_yaml_values_land_correctly():
     path = os.path.join(REF, "nerfacto/configs/kubric_nerfacto_base.yml")
     if not os.path.exists(path):
