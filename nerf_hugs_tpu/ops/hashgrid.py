@@ -81,6 +81,39 @@ def _pair_dense_enabled() -> bool:
     return os.environ.get("NERF_HUGS_PAIR_DENSE", "1") != "0"
 
 
+def _dense_pack_dims(level_rows: int, num_dims: int) -> int:
+    """How many leading dims to corner-pack on a dense level of this size.
+
+    Generalizes the paired-corner fetch: packing k dims gathers all 2^k
+    corners that differ only in dims < k with ONE descriptor from an
+    augmented [T, 2^k*F] table (built by k concat+roll doublings at strides
+    1, N, N^2 — see _encode_impl), issuing 2^(d-k) descriptors per sample
+    instead of 2^d. Wider rows gather slower per descriptor, so higher k
+    only wins on LARGE levels: measured on a v5e
+    (tools/bench_fwd_copies.py, .runs_r4/q/fwdcopy.log), quad (k=2, 32B
+    rows) is 1.46x pair at a 127^3-row level but 0.81x at 65^3.
+
+    Gates (rows thresholds; 0 disables the tier):
+      NERF_HUGS_QUAD_DENSE_MIN_ROWS  default 1048576 (between the measured
+                                     65^3 loss and 127^3 win; refined by the
+                                     round-5 sweep)
+      NERF_HUGS_OCT_DENSE_MIN_ROWS   default 0 = OFF (k=3, 64B rows —
+                                     unmeasured until the round-5 sweep)
+    NERF_HUGS_PAIR_DENSE=0 disables all packing (the per-corner path).
+    """
+    import os
+    if not _pair_dense_enabled() or num_dims < 2:
+        return 0
+    k = 1
+    quad_min = int(os.environ.get("NERF_HUGS_QUAD_DENSE_MIN_ROWS", 1 << 20))
+    oct_min = int(os.environ.get("NERF_HUGS_OCT_DENSE_MIN_ROWS", 0))
+    if quad_min and level_rows >= quad_min and num_dims >= 2:
+        k = 2
+    if oct_min and level_rows >= oct_min and num_dims >= 3 and k == 2:
+        k = 3
+    return min(k, num_dims)
+
+
 def _mxu_deinterleave_enabled() -> bool:
     """Measured-perf knob: de-interleave [n, cols] row-major gather outputs
     into planar per-feature columns with one constant 0/1 selection matmul
@@ -363,24 +396,42 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
         tab_l = tab[lvl].reshape(int(spec.level_sizes[lvl]), f)  # bitcast view
         accs = [jnp.zeros((n,)) for _ in range(f)]
         dense = bool(spec.dense_level()[lvl])
-        if _pair_dense_enabled() and dense and spec.num_dims >= 2:
-            # Paired-corner fetch: on dense levels the x-neighbor corner is
-            # the NEXT table row (stride 1), so an augmented [T, 2F] table
-            # T2[i] = [T[i] | T[(i+1) % T]] fetches both x-corners with ONE
-            # descriptor — 2^(d-1) gathers/level instead of 2^d. Gather cost
-            # is per-descriptor until rows exceed ~64B
-            # (docs/tpu_gather_cost_model.md), so 16B rows ride ~free.
-            # corner_offsets orders dim 0 most-significant: corner c < half
-            # has x-offset 0 and its partner is c + half.
-            tab2 = jnp.concatenate([tab_l, jnp.roll(tab_l, -1, axis=0)],
-                                   axis=-1)                       # [T, 2F]
-            half = num_corners // 2
-            for c in range(half):
-                vals = jnp.take(tab2, rows[c], axis=0)            # [n, 2F]
+        pack_k = _dense_pack_dims(int(spec.level_sizes[lvl]),
+                                  spec.num_dims) if dense else 0
+        if pack_k:
+            # Packed-corner fetch: on dense levels the dim-d neighbor corner
+            # sits at row i + N^d (stride 1 for x), so k concat+roll
+            # doublings build an augmented [T, 2^k*F] table whose row i
+            # holds all 2^k corners differing only in dims < k — ONE
+            # descriptor fetches them all, 2^(d-k) gathers/level instead of
+            # 2^d. The rebuild is sequential streaming (free next to the
+            # descriptors); the roll's mod-T wrap equals _corner_combine's
+            # conditional-subtract wrap because base + offset < 2T always.
+            # k is size-gated per level (_dense_pack_dims): wider rows
+            # gather slower per descriptor, so quad/oct only win on large
+            # levels (docs/tpu_gather_cost_model.md).
+            d_dims = spec.num_dims
+            res_l = int(spec.resolutions[lvl])
+            tab_a = tab_l
+            for d in range(pack_k):
+                tab_a = jnp.concatenate(
+                    [tab_a, jnp.roll(tab_a, -(res_l ** d), axis=0)], axis=-1)
+            # corner_offsets orders dim 0 most-significant: corner id
+            # contributes 2^(d_dims-1-d) per dim-d offset. Base corners have
+            # zero offset in every packed dim; packed group q's bit d (LSB =
+            # first doubling = dim 0) selects the dim-d neighbor.
+            base_corners = [c for c in range(num_corners)
+                            if all((c >> (d_dims - 1 - d)) & 1 == 0
+                                   for d in range(pack_k))]
+            for b in base_corners:
+                vals = jnp.take(tab_a, rows[b], axis=0)   # [n, 2^k*F]
                 cols = _planar_columns(vals)
-                for j in range(f):
-                    accs[j] = (accs[j] + weights[c] * cols[j]
-                               + weights[c + half] * cols[f + j])
+                for q in range(1 << pack_k):
+                    corner = b + sum(((q >> d) & 1) << (d_dims - 1 - d)
+                                     for d in range(pack_k))
+                    for j in range(f):
+                        accs[j] = (accs[j]
+                                   + weights[corner] * cols[q * f + j])
         else:
             for c in range(num_corners):
                 vals = jnp.take(tab_l, rows[c], axis=0)           # [n, F]

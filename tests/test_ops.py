@@ -365,6 +365,46 @@ def test_hashgrid_pair_dense_matches_default(monkeypatch):
     np.testing.assert_allclose(paired, want, rtol=1e-5, atol=1e-5)
 
 
+def test_hashgrid_quad_oct_pack_matches_oracle(monkeypatch):
+    # Size-gated quad (k=2, [T, 4F] rows) and oct (k=3, [T, 8F] rows)
+    # dense-level packing (NERF_HUGS_{QUAD,OCT}_DENSE_MIN_ROWS) must match
+    # the numpy tcnn oracle and the per-corner path, including the grid-edge
+    # wrap in every packed dim and gradients through the packed gathers.
+    spec = make_spec()
+    table = rand_table(spec, jax.random.PRNGKey(9))
+    pos = np.concatenate([
+        np.random.RandomState(11).rand(96, 3).astype(np.float32),
+        np.ones((1, 3), np.float32),                     # all-edge corner
+        np.array([[1.0, 0.3, 0.7], [0.3, 1.0, 0.7],      # per-dim edges
+                  [0.3, 0.7, 1.0]], np.float32)])
+    want = numpy_tcnn_encode(table, pos, spec)
+    monkeypatch.setenv("NERF_HUGS_PAIR_DENSE", "0")
+    base = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
+    monkeypatch.delenv("NERF_HUGS_PAIR_DENSE")
+
+    def loss(tab, env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        return jnp.sum(jnp.cos(hashgrid_encode(tab, jnp.asarray(pos), spec)))
+
+    g_base = jax.grad(loss)(table, {"NERF_HUGS_PAIR_DENSE": "0"})
+    monkeypatch.delenv("NERF_HUGS_PAIR_DENSE")
+    for env in ({"NERF_HUGS_QUAD_DENSE_MIN_ROWS": "1"},
+                {"NERF_HUGS_QUAD_DENSE_MIN_ROWS": "1",
+                 "NERF_HUGS_OCT_DENSE_MIN_ROWS": "1"}):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        got = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got, base, rtol=1e-6, atol=1e-6)
+        g_packed = jax.grad(loss)(table, env)
+        for ga, gb in zip(g_packed, g_base):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=1e-5, atol=1e-6)
+        for k in env:
+            monkeypatch.delenv(k)
+
+
 def test_hashgrid_mxu_deinterleave_matches_default(monkeypatch):
     # The MXU one-hot de-interleave (NERF_HUGS_MXU_DEINTERLEAVE=1) replaces
     # the strided vals[:, j] reads with an exact 0/1 selection matmul at

@@ -11,16 +11,25 @@ paired-corner 16B rows):
 
   A. planar (current production form) — baseline including the copies;
   B. transposed-output gather: lax.gather with offset_dims=(0,) emits
-     [2F, n] directly, so feature reads are contiguous rows (risk: the
-     non-default offset position may hit XLA's slow gather path, like the
-     28.8 M idx/s 1-D slice-gather from the cost model);
+     [2F, n] directly, so feature reads are contiguous rows. ROUND-4
+     VERDICT: 143M vs A's 190M desc/s at both shapes — dead end, skipped
+     by default (--all re-enables);
   C. Pallas accumulate kernel: consumes the row-major gather outputs +
      weights and emits planar [n] accumulators in one pass — the relayout
-     happens once inside the kernel instead of as XLA copies;
+     happens once inside the kernel instead of as XLA copies. Round 4
+     failed to compile (VMEM stack OOM 20.04M vs 16M: double-buffered
+     [4096, 4] blocks lane-pad to [4096, 128] = 2 MB x 5 operands x 2
+     buffers); round 5 blocks n at 1024;
   D. quad-xy packing ([C, 4F] 32B rows, 2 descriptors/sample) with planar
-     accumulation — re-checked end-to-end at this shape.
+     accumulation. ROUND-4 VERDICT: 278M desc/s at C=127^3 vs A's 190M,
+     but 155M at C=65^3 — size-gated quad landed in ops/hashgrid.py
+     (NERF_HUGS_QUAD_DENSE_MIN_ROWS); this sweep pins the crossover;
+  E. MXU one-hot de-interleave. ROUND-4 VERDICT: 148M desc/s micro, +22%
+     end-to-end — dead end, skipped by default;
+  O. oct-xyz packing ([C, 8F] 64B rows, 1 descriptor/sample) — the k=3
+     tier of the same ladder, unmeasured before round 5.
 
-Run on the real TPU:  python tools/bench_fwd_copies.py [n_log2]
+Run on the real TPU:  python tools/bench_fwd_copies.py [n_log2] [--all]
 """
 
 import functools
@@ -93,7 +102,7 @@ def _accum_kernel(v0, v1, v2, v3, w, o):
         o[:, j] = acc
 
 
-def pallas_accum(tab2, idx, w, block=4096):
+def pallas_accum(tab2, idx, w, block=1024):
     """C: gathers stay XLA; the weighted planar accumulation is one Pallas
     pass over the row-major gather outputs."""
     from jax.experimental import pallas as pl
@@ -119,6 +128,16 @@ def quad(tab4, idx2, w):
         for q in range(4):
             for j in range(F):
                 accs[j] = accs[j] + w[c * 4 + q] * vals[:, q * F + j]
+    return jnp.stack(accs, axis=-1)
+
+
+def oct_pack(tab8, idx1, w):
+    """O: 64B rows fetch all 8 corners per descriptor (1 gather/sample)."""
+    accs = [jnp.zeros((idx1.shape[0],)) for _ in range(F)]
+    vals = jnp.take(tab8, idx1, axis=0)                 # [n, 8F]
+    for q in range(8):
+        for j in range(F):
+            accs[j] = accs[j] + w[q] * vals[:, q * F + j]
     return jnp.stack(accs, axis=-1)
 
 
@@ -161,29 +180,39 @@ def mxu_transpose(tab2, idx, w):
 
 
 def main():
-    n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 21
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    run_all = "--all" in sys.argv[1:]
+    n_log2 = int(args[0]) if args else 21
     n = 1 << n_log2   # samples (final field at base shapes: 2^21)
     key = jax.random.PRNGKey(0)
     kt, ki, kw = jax.random.split(key, 3)
 
-    for C in (274625, 2048383):   # dense levels N=64 and N=126 (~126^3)
+    # Dense-level sizes bracketing the quad crossover (N^3 for N in 65..127;
+    # levels above 127^3 are hashed at log2 21). 81^3 and 112^3 are the two
+    # real kubric_nerfacto_base dense levels in play.
+    for N in (65, 81, 97, 113, 127):
+        C = N ** 3
         tab2 = jax.random.normal(kt, (C, 2 * F), jnp.float32)
         idx = jax.random.randint(ki, (4, n), 0, C, jnp.int32)
         w = jax.random.uniform(kw, (8, n), jnp.float32)
-        # Quad layout: same corner set packed 4-wide; halve the index count.
-        tab4 = jnp.concatenate([tab2, jnp.roll(tab2, -int(round(C ** (1 / 3)
-                                                                ) or 1),
-                                               axis=0)], axis=-1)
+        # Quad/oct layouts: same corner set packed 4/8-wide; the rebuild
+        # (concat+roll, sequential streaming) is timed separately below —
+        # production rebuilds once per step inside the jitted graph.
+        def build4(t2):
+            return jnp.concatenate([t2, jnp.roll(t2, -N, axis=0)], axis=-1)
+
+        def build8(t2):
+            t4 = build4(t2)
+            return jnp.concatenate([t4, jnp.roll(t4, -N * N, axis=0)],
+                                   axis=-1)
+
+        tab4 = jax.jit(build4)(tab2)
+        tab8 = jax.jit(build8)(tab2)
         idx2 = idx[:2]
+        idx1 = idx[0]
 
         ref = np.asarray(jax.jit(planar)(tab2, idx, w))
         results = {"A_planar": timeit(planar, tab2, idx, w)}
-        try:
-            out_b = np.asarray(jax.jit(transposed)(tab2, idx, w))
-            np.testing.assert_allclose(out_b, ref, rtol=1e-5, atol=1e-5)
-            results["B_transposed_gather"] = timeit(transposed, tab2, idx, w)
-        except Exception as e:
-            results["B_transposed_gather"] = f"FAILED {type(e).__name__}: {e}"
         try:
             out_c = np.asarray(jax.jit(pallas_accum)(tab2, idx, w))
             np.testing.assert_allclose(out_c, ref, rtol=1e-5, atol=1e-5)
@@ -195,20 +224,38 @@ def main():
         except Exception as e:
             results["D_quad_32B"] = f"FAILED {type(e).__name__}: {e}"
         try:
-            out_e = np.asarray(jax.jit(mxu_transpose)(tab2, idx, w))
-            np.testing.assert_allclose(out_e, ref, rtol=1e-5, atol=1e-5)
-            results["E_mxu_deinterleave"] = timeit(mxu_transpose, tab2, idx, w)
+            results["O_oct_64B"] = timeit(oct_pack, tab8, idx1, w)
         except Exception as e:
-            results["E_mxu_deinterleave"] = f"FAILED {type(e).__name__}: {e}"
+            results["O_oct_64B"] = f"FAILED {type(e).__name__}: {e}"
+        results["rebuild4_only"] = timeit(build4, tab2)
+        results["rebuild8_only"] = timeit(build8, tab2)
+        if run_all:   # round-4 measured dead ends, re-runnable on demand
+            try:
+                out_b = np.asarray(jax.jit(transposed)(tab2, idx, w))
+                np.testing.assert_allclose(out_b, ref, rtol=1e-5, atol=1e-5)
+                results["B_transposed_gather"] = timeit(
+                    transposed, tab2, idx, w)
+            except Exception as e:
+                results["B_transposed_gather"] = (
+                    f"FAILED {type(e).__name__}: {e}")
+            try:
+                out_e = np.asarray(jax.jit(mxu_transpose)(tab2, idx, w))
+                np.testing.assert_allclose(out_e, ref, rtol=1e-5, atol=1e-5)
+                results["E_mxu_deinterleave"] = timeit(
+                    mxu_transpose, tab2, idx, w)
+            except Exception as e:
+                results["E_mxu_deinterleave"] = (
+                    f"FAILED {type(e).__name__}: {e}")
 
-        print(f"--- C={C} rows, n={n} samples (4 paired descriptors each) "
-              "---")
+        print(f"--- C={C} rows (N={N}), n={n} samples "
+              "(4 paired descriptors each) ---", flush=True)
         for k, v in results.items():
             if isinstance(v, float):
                 rate = 4 * n / v / 1e6
-                print(f"{k:24s} {v * 1e3:8.2f} ms   {rate:7.1f} M desc/s")
+                print(f"{k:24s} {v * 1e3:8.2f} ms   {rate:7.1f} M desc/s",
+                      flush=True)
             else:
-                print(f"{k:24s} {v}")
+                print(f"{k:24s} {v}", flush=True)
 
 
 if __name__ == "__main__":

@@ -53,14 +53,20 @@ def fwd_descriptor_floor(config):
     from nerf_hugs_tpu.ops import hashgrid as hg
 
     nc = config.nerfacto
-    paired = hg._pair_dense_enabled()
 
     def per_sample(spec):
+        # 2^(d-k) descriptors per sample per level, where k is the
+        # size-gated packing tier (0 none, 1 pair, 2 quad, 3 oct —
+        # hashgrid._dense_pack_dims reads the same env gates the encode
+        # path uses, so the floor tracks the active configuration).
         dense = spec.dense_level()
         full = 2 ** spec.num_dims
-        return sum((full // 2 if (paired and bool(dense[l])
-                                  and spec.num_dims >= 2) else full)
-                   for l in range(spec.num_levels))
+        total = 0
+        for l in range(spec.num_levels):
+            k = (hg._dense_pack_dims(int(spec.level_sizes[l]), spec.num_dims)
+                 if bool(dense[l]) else 0)
+            total += full >> k
+        return total
 
     field_spec = hg.HashGridSpec(
         num_levels=nc.num_levels, features_per_level=nc.features_per_level,
