@@ -170,6 +170,10 @@ def main():
     for key, path, steps in (
             ("nerfacto_base", "configs/nerfacto/kubric_nerfacto_base.yml", 5),
             ("nerfacto_tpu", "configs/nerfacto/kubric_nerfacto_tpu.yml", 10),
+            ("nerfacto_base_addhash",
+             "configs/nerfacto/kubric_nerfacto_base_addhash.yml", 5),
+            ("nerfacto_tpu_addhash",
+             "configs/nerfacto/kubric_nerfacto_tpu_addhash.yml", 10),
             ("vanilla_base", "configs/nerfacto/kubric_nerf_base.yml", 20)):
         try:
             extra[key] = bench_config(path, steps=steps, warmup=1)

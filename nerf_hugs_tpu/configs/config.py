@@ -109,6 +109,13 @@ class NerfactoConfig:
     max_res: int = 2048
     log2_hashmap_size: int = 19
     features_per_level: int = 2
+    # Hashed-level index combine for ALL hash grids in the model (field +
+    # proposal nets). 'xor' = tcnn-exact (required to import released torch
+    # checkpoints); 'add' = TPU-native additive hash whose fixed per-dim row
+    # strides let the packed-corner fetch halve/quarter hashed-level gather
+    # descriptors (ops/hashgrid.HashGridSpec.hash_impl). Changing it changes
+    # the model function — checkpoints do not transfer between modes.
+    hash_impl: str = "xor"
     enable_tcnn_mlp: bool = False       # reference ships False; kept for parity
     appearance_embed_dim: int = 32
     use_appearance_embedding: bool = False

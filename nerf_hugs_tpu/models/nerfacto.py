@@ -139,7 +139,7 @@ class NerfactoField(nn.Module):
         spec = HashGridSpec(
             num_levels=nc.num_levels, features_per_level=nc.features_per_level,
             log2_hashmap_size=nc.log2_hashmap_size, base_res=nc.base_res,
-            max_res=nc.max_res)
+            max_res=nc.max_res, hash_impl=getattr(nc, "hash_impl", "xor"))
         density_act = _density_activation("trunc_exp", -1.0)
 
         grid_pos, selector = _normalize_positions(positions, self.bound,
@@ -189,7 +189,8 @@ class HashMLPDensityField(nn.Module):
             num_levels=a.get("num_levels", 8),
             features_per_level=a.get("features_per_level", 2),
             log2_hashmap_size=a.get("log2_hashmap_size", 18),
-            base_res=a.get("base_res", 16), max_res=a.get("max_res", 1024))
+            base_res=a.get("base_res", 16), max_res=a.get("max_res", 1024),
+            hash_impl=a.get("hash_impl", "xor"))
         grid_pos, selector = _normalize_positions(positions, self.bound,
                                                   self.contraction)
         feats = HashGridEncoding(spec, name="hashgrid")(grid_pos)
@@ -256,8 +257,10 @@ class NerfactoModel(nn.Module):
             if len(nc.proposal_net_args_list) != 1:
                 raise ValueError("use_same_proposal_network requires exactly "
                                  "one proposal_net_args_list entry")
+            prop_args = dict(nc.proposal_net_args_list[0])
+            prop_args.setdefault("hash_impl", getattr(nc, "hash_impl", "xor"))
             shared = HashMLPDensityField(
-                dict(nc.proposal_net_args_list[0]), bound, contraction,
+                prop_args, bound, contraction,
                 compute_dtype,
                 fused_ok=dict(nc.proposal_net_args_list[0]).get(
                     "enable_tcnn_mlp", False),
@@ -265,11 +268,12 @@ class NerfactoModel(nn.Module):
             prop_nets = [shared] * nc.num_proposal_iterations
         else:
             for i in range(nc.num_proposal_iterations):
-                args = nc.proposal_net_args_list[
-                    min(i, len(nc.proposal_net_args_list) - 1)]
+                args = dict(nc.proposal_net_args_list[
+                    min(i, len(nc.proposal_net_args_list) - 1)])
+                args.setdefault("hash_impl", getattr(nc, "hash_impl", "xor"))
                 prop_nets.append(HashMLPDensityField(
-                    dict(args), bound, contraction, compute_dtype,
-                    fused_ok=dict(args).get("enable_tcnn_mlp", False),
+                    args, bound, contraction, compute_dtype,
+                    fused_ok=args.get("enable_tcnn_mlp", False),
                     name=f"proposal_{i}"))
 
         appearance_embed = None

@@ -82,16 +82,19 @@ def _pair_dense_enabled() -> bool:
 
 
 def _dense_pack_dims(level_rows: int, num_dims: int) -> int:
-    """How many leading dims to corner-pack on a dense level of this size.
+    """How many leading dims to corner-pack on a packable level of this size.
 
     Generalizes the paired-corner fetch: packing k dims gathers all 2^k
     corners that differ only in dims < k with ONE descriptor from an
-    augmented [T, 2^k*F] table (built by k concat+roll doublings at strides
-    1, N, N^2 — see _encode_impl), issuing 2^(d-k) descriptors per sample
-    instead of 2^d. Wider rows gather slower per descriptor, so higher k
-    only wins on LARGE levels: measured on a v5e
-    (tools/bench_fwd_copies.py, .runs_r4/q/fwdcopy.log), quad (k=2, 32B
-    rows) is 1.46x pair at a 127^3-row level but 0.81x at 65^3.
+    augmented [T, 2^k*F] table (built by k concat+roll doublings at the
+    per-dim row strides — see _encode_impl), issuing 2^(d-k) descriptors
+    per sample instead of 2^d. Applies to dense levels always and to
+    hashed levels under hash_impl='add' (whose additive hash makes the
+    dim-d neighbor a fixed row stride too — see _corner_combine). Wider
+    rows gather slower per descriptor, so higher k only wins on LARGE
+    levels: measured on a v5e (tools/bench_fwd_copies.py,
+    .runs_r4/q/fwdcopy.log), quad (k=2, 32B rows) is 1.46x pair at a
+    127^3-row level but 0.81x at 65^3.
 
     Gates (rows thresholds; 0 disables the tier):
       NERF_HUGS_QUAD_DENSE_MIN_ROWS  default 1048576 (between the measured
@@ -204,6 +207,22 @@ class HashGridSpec:
     # Backward config: bf16 matmul matches the reference's AMP-fp16 grads
     # (nerfacto/train.py:199-207); fp32 available for strict parity tests.
     bwd_dtype: str = "bfloat16"
+    # Hashed-level index combine. 'xor' is tcnn-EXACT (grid.h lcg_hash,
+    # h = x*1 ^ y*p2 ^ z*p3 & mask) — required for released-checkpoint
+    # imports. 'add' is the TPU-native packable variant
+    # (h = (x + y*p2 + z*p3) mod 2^32 & mask): addition keeps each dim a
+    # FIXED row stride (1, p2 & mask, p3 & mask) so the packed-corner
+    # fetch that halves/quarters dense-level gather descriptors applies to
+    # hashed levels too — the dominant descriptor population at
+    # kubric_nerfacto_base shapes. Hash quality is comparable: tcnn itself
+    # leaves x un-mixed (prime 1), and the odd primes still decorrelate
+    # y/z; quality A/B on hardware in PARITY.md.
+    hash_impl: str = "xor"
+
+    def __post_init__(self):
+        if self.hash_impl not in ("xor", "add"):
+            raise ValueError(f"hash_impl must be 'xor' or 'add', got "
+                             f"{self.hash_impl!r}")
 
     @property
     def table_size(self) -> int:
@@ -248,6 +267,27 @@ class HashGridSpec:
         hashmap_size < stride after the dense loop)."""
         return (self.resolutions.astype(np.int64) ** self.num_dims
                 <= self.table_size)
+
+    def pack_strides(self, lvl: int):
+        """Per-dim row strides of the dim-d neighbor corner on a packable
+        level, or None if the level cannot be corner-packed.
+
+        Dense level: neighbor row = base + N_l^d (mod level size). Hashed
+        'add' level: (sum + p_d) & mask == (masked + (p_d & mask)) mod 2^m
+        because 2^m divides 2^32 — a fixed stride too. Hashed 'xor' levels
+        have no fixed neighbor stride (x^(x+1) depends on trailing ones)."""
+        if bool(self.dense_level()[lvl]):
+            res = int(self.resolutions[lvl])
+            return [res ** d for d in range(self.num_dims)]
+        if (self.hash_impl == "add"
+                and int(self.level_sizes[lvl]) == self.table_size):
+            # level_sizes rounds up to a multiple of 8; the stride/roll wrap
+            # is only mod-correct when the table is exactly the 2^m masked
+            # domain (true for any log2_hashmap_size >= 3).
+            mask = self.table_size - 1
+            return [_PRIMES[d % len(_PRIMES)] & mask
+                    for d in range(self.num_dims)]
+        return None
 
 
 def _as_level_tuple(table, spec: HashGridSpec):
@@ -329,11 +369,12 @@ def _corner_combine(spec: HashGridSpec, terms, wpair, dense: bool,
     if d_dims >= 2:
         wxy = {(i, j): wpair[0][i] * wpair[1][j]
                for i in range(2) for j in range(2)}
+    additive = dense or spec.hash_impl == "add"
     for c in offsets:
         idx = terms[0][c[0]]
         for d in range(1, d_dims):
             t = terms[d][c[d]]
-            idx = (idx + t) if dense else (idx ^ t)
+            idx = (idx + t) if additive else (idx ^ t)
         if dense:
             idx = jnp.where(idx >= sizes, idx - sizes, idx)
         else:
@@ -395,27 +436,28 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
         # stack materializes a rank-2 array per level.
         tab_l = tab[lvl].reshape(int(spec.level_sizes[lvl]), f)  # bitcast view
         accs = [jnp.zeros((n,)) for _ in range(f)]
-        dense = bool(spec.dense_level()[lvl])
-        pack_k = _dense_pack_dims(int(spec.level_sizes[lvl]),
-                                  spec.num_dims) if dense else 0
+        strides = spec.pack_strides(lvl)
+        pack_k = (_dense_pack_dims(int(spec.level_sizes[lvl]), spec.num_dims)
+                  if strides else 0)
         if pack_k:
-            # Packed-corner fetch: on dense levels the dim-d neighbor corner
-            # sits at row i + N^d (stride 1 for x), so k concat+roll
-            # doublings build an augmented [T, 2^k*F] table whose row i
-            # holds all 2^k corners differing only in dims < k — ONE
-            # descriptor fetches them all, 2^(d-k) gathers/level instead of
-            # 2^d. The rebuild is sequential streaming (free next to the
-            # descriptors); the roll's mod-T wrap equals _corner_combine's
-            # conditional-subtract wrap because base + offset < 2T always.
+            # Packed-corner fetch: on packable levels the dim-d neighbor
+            # corner sits at a FIXED row stride (dense: N^d, stride 1 for
+            # x; hashed-add: p_d & mask — spec.pack_strides), so k
+            # concat+roll doublings build an augmented [T, 2^k*F] table
+            # whose row i holds all 2^k corners differing only in dims < k
+            # — ONE descriptor fetches them all, 2^(d-k) gathers/level
+            # instead of 2^d. The rebuild is sequential streaming (free
+            # next to the descriptors); the roll's mod-T wrap equals
+            # _corner_combine's wrap (dense: conditional subtract, valid
+            # because base + offset < 2T; hashed-add: & mask == mod T).
             # k is size-gated per level (_dense_pack_dims): wider rows
             # gather slower per descriptor, so quad/oct only win on large
             # levels (docs/tpu_gather_cost_model.md).
             d_dims = spec.num_dims
-            res_l = int(spec.resolutions[lvl])
             tab_a = tab_l
             for d in range(pack_k):
                 tab_a = jnp.concatenate(
-                    [tab_a, jnp.roll(tab_a, -(res_l ** d), axis=0)], axis=-1)
+                    [tab_a, jnp.roll(tab_a, -strides[d], axis=0)], axis=-1)
             # corner_offsets orders dim 0 most-significant: corner id
             # contributes 2^(d_dims-1-d) per dim-d offset. Base corners have
             # zero offset in every packed dim; packed group q's bit d (LSB =

@@ -89,6 +89,20 @@ def test_nerfacto_trains(mesh):
         f"{np.mean(psnrs[-10:]):.2f}")
 
 
+def test_nerfacto_add_hash_trains(mesh):
+    # The TPU-native additive hash (NerfactoConfig.hash_impl='add',
+    # packable hashed levels) must train end-to-end like the tcnn xor hash:
+    # the knob threads through the field AND the proposal nets
+    # (models/nerfacto.py spec construction + proposal-args setdefault).
+    config = nerfacto_config()
+    config.nerfacto.hash_impl = "add"
+    psnrs = run_steps(config, mesh, 60)
+    assert np.isfinite(psnrs).all()
+    assert np.mean(psnrs[-10:]) > np.mean(psnrs[:5]) + 2, (
+        f"add-hash nerfacto PSNR flat: {np.mean(psnrs[:5]):.2f} -> "
+        f"{np.mean(psnrs[-10:]):.2f}")
+
+
 def test_vanilla_nerf_trains(mesh):
     psnrs = run_steps(nerf_config(), mesh, 60)
     assert np.isfinite(psnrs).all()

@@ -51,7 +51,11 @@ def rand_table(spec, key):
 
 
 def numpy_tcnn_encode(table, pos, spec):
-    """Reference: tiny-cuda-nn grid.h semantics in plain numpy."""
+    """Reference: tiny-cuda-nn grid.h semantics in plain numpy (xor hash),
+    plus the TPU-native additive hash when spec.hash_impl == 'add'
+    (h = sum_d c_d * p_d mod 2^32, then & mask — low bits of the sum only
+    depend on low bits of the addends, so uint64 accumulation + mask is
+    exact)."""
     pos = np.asarray(pos, np.float32)
     n = pos.shape[0]
     d = spec.num_dims
@@ -72,12 +76,14 @@ def numpy_tcnn_encode(table, pos, spec):
                 bit = (corner >> (d - 1 - dim)) & 1  # match corner_offsets
                 c = x0[:, dim] + bit
                 w = w * (frac[:, dim] if bit else 1 - frac[:, dim])
+                term = (c.astype(np.uint64)
+                        * np.uint64(_PRIMES[dim % 3]))
                 if dense:
                     idx = idx + c * (res ** dim)
+                elif spec.hash_impl == "add":
+                    idx = (idx.astype(np.uint64) + term).astype(np.int64)
                 else:
-                    idx = idx ^ (c.astype(np.uint64)
-                                 * np.uint64(_PRIMES[dim % 3])).astype(
-                                     np.int64)
+                    idx = idx ^ term.astype(np.int64)
             if dense:
                 idx = idx % size
             else:
@@ -396,6 +402,50 @@ def test_hashgrid_quad_oct_pack_matches_oracle(monkeypatch):
             monkeypatch.setenv(k, v)
         got = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got, base, rtol=1e-6, atol=1e-6)
+        g_packed = jax.grad(loss)(table, env)
+        for ga, gb in zip(g_packed, g_base):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=1e-5, atol=1e-6)
+        for k in env:
+            monkeypatch.delenv(k)
+
+
+def test_hashgrid_add_hash_matches_oracle_and_packs(monkeypatch):
+    # hash_impl='add' (TPU-native packable hash): (1) matches the numpy
+    # oracle's additive-hash arm with packing disabled; (2) the packed
+    # hashed-level fetch (pair/quad via the augmented stride-p_d tables) is
+    # bit-compatible with the unpacked path, including uint32 wrap at the
+    # mask boundary, and gradients flow identically through the packed
+    # gathers (concat+roll are linear).
+    spec = make_spec(hash_impl="add")
+    assert spec.pack_strides(2) is not None          # hashed level, packable
+    assert spec.pack_strides(0) == [1, 4, 16]        # dense level strides
+    table = rand_table(spec, jax.random.PRNGKey(13))
+    pos = np.concatenate([
+        np.random.RandomState(17).rand(128, 3).astype(np.float32),
+        np.zeros((1, 3), np.float32),
+        np.ones((1, 3), np.float32)])
+    want = numpy_tcnn_encode(table, pos, spec)
+    monkeypatch.setenv("NERF_HUGS_PAIR_DENSE", "0")
+    base = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
+    np.testing.assert_allclose(base, want, rtol=1e-5, atol=1e-5)
+    # The additive hash is a DIFFERENT function from tcnn's xor hash.
+    xor_out = np.asarray(hashgrid_encode(
+        table, jnp.asarray(pos), make_spec(hash_impl="xor")))
+    assert not np.allclose(xor_out, want, atol=1e-3)
+
+    def loss(tab, env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        return jnp.sum(jnp.sin(hashgrid_encode(tab, jnp.asarray(pos), spec)))
+
+    g_base = jax.grad(loss)(table, {"NERF_HUGS_PAIR_DENSE": "0"})
+    monkeypatch.delenv("NERF_HUGS_PAIR_DENSE")
+    for env in ({}, {"NERF_HUGS_QUAD_DENSE_MIN_ROWS": "1"}):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        got = np.asarray(hashgrid_encode(table, jnp.asarray(pos), spec))
         np.testing.assert_allclose(got, base, rtol=1e-6, atol=1e-6)
         g_packed = jax.grad(loss)(table, env)
         for ga, gb in zip(g_packed, g_base):

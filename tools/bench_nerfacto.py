@@ -59,19 +59,21 @@ def fwd_descriptor_floor(config):
         # size-gated packing tier (0 none, 1 pair, 2 quad, 3 oct —
         # hashgrid._dense_pack_dims reads the same env gates the encode
         # path uses, so the floor tracks the active configuration).
-        dense = spec.dense_level()
+        # Packability covers dense levels and hashed levels under
+        # hash_impl='add' (spec.pack_strides).
         full = 2 ** spec.num_dims
         total = 0
         for l in range(spec.num_levels):
             k = (hg._dense_pack_dims(int(spec.level_sizes[l]), spec.num_dims)
-                 if bool(dense[l]) else 0)
+                 if spec.pack_strides(l) is not None else 0)
             total += full >> k
         return total
 
+    hash_impl = getattr(nc, "hash_impl", "xor")
     field_spec = hg.HashGridSpec(
         num_levels=nc.num_levels, features_per_level=nc.features_per_level,
         log2_hashmap_size=nc.log2_hashmap_size, base_res=nc.base_res,
-        max_res=nc.max_res)
+        max_res=nc.max_res, hash_impl=hash_impl)
     n = config.batch_size
     descriptors = n * nc.num_nerf_samples_per_ray * per_sample(field_spec)
     # One proposal field per ITERATION, reusing the last args entry when the
@@ -87,14 +89,15 @@ def fwd_descriptor_floor(config):
             features_per_level=args.get("features_per_level", 2),
             log2_hashmap_size=args.get("log2_hashmap_size", 18),
             base_res=args.get("base_res", 16),
-            max_res=args.get("max_res", 1024))
+            max_res=args.get("max_res", 1024),
+            hash_impl=args.get("hash_impl", hash_impl))
         n_samp = nc.num_proposal_samples_per_ray[
             min(i, len(nc.num_proposal_samples_per_ray) - 1)]
         descriptors += n * n_samp * per_sample(spec)
     return descriptors, descriptors / 215e6, descriptors / 165e6
 
 
-def bench_config(path, steps=10, warmup=2):
+def bench_config(path, steps=10, warmup=2, hash_impl=None):
     # Defaults span TWO full proposal_update_every=5 cycles (steps base+2..
     # base+11 contain exactly 2 update steps for every shipped config, whose
     # max_steps//2 is a multiple of 5) — a window that is not a multiple of
@@ -105,6 +108,18 @@ def bench_config(path, steps=10, warmup=2):
     from nerf_hugs_tpu.utils import structs
 
     config = load_yaml_config(path)
+    if hash_impl is not None:
+        # A/B override: swap every hash grid's index combine (field +
+        # proposal nets; see HashGridSpec.hash_impl). Changes the model
+        # function, so only meaningful for step-time benches from fresh
+        # params — never for restoring checkpoints.
+        import dataclasses
+        config = dataclasses.replace(
+            config, nerfacto=dataclasses.replace(
+                config.nerfacto, hash_impl=hash_impl,
+                proposal_net_args_list=tuple(
+                    {**dict(a), "hash_impl": hash_impl}
+                    for a in config.nerfacto.proposal_net_args_list)))
     mesh = mesh_lib.make_mesh(jax.devices())
     model, state, _, train_step, _ = train_step_lib.setup_model(
         config, jax.random.PRNGKey(0), mesh)
@@ -138,7 +153,7 @@ def bench_config(path, steps=10, warmup=2):
     float(stats["loss"])
     dt = (time.perf_counter() - t0) / steps
     out = {
-        "config": path,
+        "config": path + (f" (hash_impl={hash_impl})" if hash_impl else ""),
         "sec_per_step": round(dt, 3),
         "rays_per_sec": round(batch_size / dt, 1),
         "batch_size": batch_size,
@@ -160,12 +175,18 @@ def bench_config(path, steps=10, warmup=2):
 
 
 def main():
-    paths = sys.argv[1:] or [
+    argv = sys.argv[1:]
+    hash_impl = None
+    if "--hash-impl" in argv:
+        i = argv.index("--hash-impl")
+        hash_impl = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    paths = argv or [
         "configs/nerfacto/kubric_nerfacto_base.yml",
         "configs/nerfacto/kubric_nerfacto_tpu.yml",
     ]
     for p in paths:
-        print(json.dumps(bench_config(p)), flush=True)
+        print(json.dumps(bench_config(p, hash_impl=hash_impl)), flush=True)
 
 
 if __name__ == "__main__":

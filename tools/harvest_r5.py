@@ -26,6 +26,8 @@ import sys
 EXPECTED = [
     "fwdcopy_sweep", "quad_off_base", "quad_on_base", "packmax_base",
     "photo_base", "bench_r5",
+    # part B (tools/tpu_queue_r5b.sh): additive-hash perf + quality A/B
+    "addhash_bench", "addhash_quality_tpu", "addhash_quality_base",
 ]
 
 
@@ -67,6 +69,10 @@ def main(argv=None):
         if name == "fwdcopy_sweep":
             for line in lines:
                 if re.search(r"M desc/s|--- C=|FAILED", line):
+                    print("  " + line)
+        elif name.startswith("addhash_quality"):
+            for line in lines:
+                if re.search(r"RESULT|wall-clock|steps/s.*rays/s$", line):
                     print("  " + line)
         else:  # JSON-emitting benches
             for obj in _json_lines(lines):
