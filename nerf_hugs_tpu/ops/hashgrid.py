@@ -117,6 +117,20 @@ def _dense_pack_dims(level_rows: int, num_dims: int) -> int:
     return min(k, num_dims)
 
 
+def _pack_bwd_enabled() -> bool:
+    """Measured-perf knob (round 5, default OFF until the hardware A/B):
+    corner-packed BACKWARD on packable levels. Instead of sorting 2^d
+    (row, w*g) entries per sample per level, sort only the 2^(d-k) base
+    corners with 2^k*F-wide payloads scattering into an AUGMENTED [T,
+    2^k*F] gradient, then fold it back onto the table with k streaming
+    1-D rolls (the transpose of the forward's concat+roll table build).
+    Same total payload bytes, 2^k x fewer sort rows and kernel entries,
+    and a wider (MXU-friendlier) segment-sum matmul.
+    NERF_HUGS_PACK_BWD=1 enables."""
+    import os
+    return os.environ.get("NERF_HUGS_PACK_BWD", "0") == "1"
+
+
 def _mxu_deinterleave_enabled() -> bool:
     """Measured-perf knob: de-interleave [n, cols] row-major gather outputs
     into planar per-feature columns with one constant 0/1 selection matmul
@@ -535,17 +549,53 @@ def _encode_custom_bwd(spec, interpret, residuals, g):
             rows, weights = rw[lvl]                              # [2^d, n]
         else:
             rows, weights = _corner_rows_level(spec, pos, lvl)
+        # The block kernel grids over fixed-size row blocks; tcnn-compact
+        # level sizes are multiples of 8, not of the block size — pad the
+        # kernel's table and slice the (row-major flat) grad back down.
+        size_l = int(spec.level_sizes[lvl])
+        padded = -(-size_l // hashgrid_bwd.BLOCK_R) * hashgrid_bwd.BLOCK_R
+        strides = spec.pack_strides(lvl)
+        pack_k = (_dense_pack_dims(size_l, spec.num_dims)
+                  if (strides and _pack_bwd_enabled()) else 0)
+        if pack_k:
+            # Corner-packed backward (see _pack_bwd_enabled): scatter each
+            # base corner's 2^k packed-corner contributions into augmented
+            # columns of ITS row, segment-sum feature-major, then fold the
+            # augmented gradient back with 1-D rolls — grad_T[r] +=
+            # grad_aug[(r - off_q) % T, q*F + j], the exact transpose of
+            # the forward's roll-built augmented table.
+            d_dims = spec.num_dims
+            base_corners = [c for c in range(rows.shape[0])
+                            if all((c >> (d_dims - 1 - d)) & 1 == 0
+                                   for d in range(pack_k))]
+            keys = jnp.concatenate([rows[b] for b in base_corners])
+            vals = []
+            for q in range(1 << pack_k):
+                corners = [b + sum(((q >> d) & 1) << (d_dims - 1 - d)
+                                   for d in range(pack_k))
+                           for b in base_corners]
+                for j in range(f):
+                    vals.append(jnp.concatenate(
+                        [weights[c] * gf[:, lvl * f + j] for c in corners]))
+            grad_fm = hashgrid_bwd.block_segment_sum(
+                keys, tuple(vals), padded, val_dtype=spec.bwd_dtype,
+                interpret=interpret, feature_major=True)  # [2^k*F, padded]
+            folded = []
+            for j in range(f):
+                acc = grad_fm[j][:size_l]                 # q = 0, offset 0
+                for q in range(1, 1 << pack_k):
+                    off = sum(strides[d] for d in range(pack_k)
+                              if (q >> d) & 1)
+                    acc = acc + jnp.roll(grad_fm[q * f + j][:size_l], off)
+                folded.append(acc)
+            grads.append(jnp.stack(folded, 0).T.reshape(size_l * f))
+            continue
         keys = rows.reshape(-1)                                  # [2^d*n]
         # Per-feature 1-D payload columns (a [2^d*n, F] array would invite
         # the 64x tiled-layout padding — see _encode_impl).
         vals = tuple(
             (weights * gf[:, lvl * f + j][None, :]).reshape(-1)
             for j in range(f))
-        # The block kernel grids over fixed-size row blocks; tcnn-compact
-        # level sizes are multiples of 8, not of the block size — pad the
-        # kernel's table and slice the (row-major flat) grad back down.
-        size_l = int(spec.level_sizes[lvl])
-        padded = -(-size_l // hashgrid_bwd.BLOCK_R) * hashgrid_bwd.BLOCK_R
         grad = hashgrid_bwd.block_segment_sum(
             keys, vals, padded,
             val_dtype=spec.bwd_dtype, interpret=interpret)

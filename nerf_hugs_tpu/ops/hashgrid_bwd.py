@@ -47,9 +47,11 @@ CHUNK = 2048    # sorted entries DMA'd per inner iteration (128-multiple)
 
 def _kernel(starts_ref, keys_ref, *vrefs_out_scratch, block_r, chunk, f,
             val_dtype, packed=False):
-    # `packed`: the f=2 bf16 value pair rides ONE int32 stream (f0 low bits,
-    # f1 high) — half the sort payload and half the value DMA traffic.
-    nv = 1 if packed else f
+    # `packed`: each bf16 value PAIR rides one int32 stream (even feature
+    # low bits, odd high) — half the sort payload and half the value DMA
+    # traffic. f=2 is the classic case; the packed-backward path
+    # (hashgrid._encode_custom_bwd) brings f = 2^k * F augmented columns.
+    nv = f // 2 if packed else f
     vals_refs = vrefs_out_scratch[:nv]
     out_ref = vrefs_out_scratch[nv]
     kbuf = vrefs_out_scratch[nv + 1]
@@ -95,13 +97,16 @@ def _kernel(starts_ref, keys_ref, *vrefs_out_scratch, block_r, chunk, f,
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (block_r, chunk), 0)
         oh = ((iota_r == rel) & valid).astype(val_dtype)  # [block_r, chunk]
         if packed:
-            # Unpack the bf16 pair from the int32 lane: f32 bits are the
+            # Unpack each bf16 pair from its int32 lane: f32 bits are the
             # bf16 bits << 16 (exact), so two shifts + bitcasts suffice.
-            p = vbufs[0][slot]                            # [1, chunk] i32
-            v0 = pltpu.bitcast(jax.lax.shift_left(p, 16), jnp.float32)
-            v1 = pltpu.bitcast(
-                jax.lax.bitwise_and(p, jnp.int32(-65536)), jnp.float32)
-            v = jnp.concatenate([v0, v1], axis=0).astype(val_dtype)
+            parts = []
+            for i in range(nv):
+                p = vbufs[i][slot]                        # [1, chunk] i32
+                parts.append(pltpu.bitcast(
+                    jax.lax.shift_left(p, 16), jnp.float32))
+                parts.append(pltpu.bitcast(
+                    jax.lax.bitwise_and(p, jnp.int32(-65536)), jnp.float32))
+            v = jnp.concatenate(parts, axis=0).astype(val_dtype)
         else:
             # Streams stay f32 in HBM ([1, N] bf16 would (2,128)-tile and
             # break DMA slicing); cast to the matmul dtype here.
@@ -139,10 +144,11 @@ def _bisect_left(keys_sorted: jnp.ndarray, bounds: jnp.ndarray,
     return lo
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def block_segment_sum(keys: jnp.ndarray, vals, table_size: int,
                       val_dtype: str = "bfloat16",
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      feature_major: bool = False) -> jnp.ndarray:
     """sum vals[k] into out rows: [K] int32 x F arrays of [K] -> flat [T*F].
 
     vals is a tuple of per-feature 1-D columns, and the output is the
@@ -152,6 +158,10 @@ def block_segment_sum(keys: jnp.ndarray, vals, table_size: int,
     `jnp.zeros((T, F)).at[keys].add(stack(vals, -1)).reshape(-1)` but ~5x
     faster on TPU: sort + streaming block matmuls instead of per-element
     scatter.
+
+    feature_major=True instead returns the kernel's native [F, T] output
+    (one [T] row vector per feature) — the packed-backward fold wants
+    per-column 1-D rolls before re-interleaving.
     """
     if hasattr(vals, "ndim"):  # convenience: accept a [K, F] array too
         vals = tuple(vals[:, j] for j in range(vals.shape[1]))
@@ -159,26 +169,30 @@ def block_segment_sum(keys: jnp.ndarray, vals, table_size: int,
     k = int(keys.shape[0])
     f = len(vals)
     if k == 0:
-        return jnp.zeros((table_size * f,), jnp.float32)
+        return jnp.zeros((f, table_size) if feature_major
+                         else (table_size * f,), jnp.float32)
     block_r = min(BLOCK_R, table_size)
     assert table_size % block_r == 0, (table_size, block_r)
     nb = table_size // block_r
 
-    # bf16 grads (the AMP-parity default) pack the f=2 value pair into ONE
+    # bf16 grads (the AMP-parity default) pack each value PAIR into one
     # int32 sort payload: measured 273M vs 215M elem/s for (key, 2xf32) at
     # 33.5M entries, and half the value-stream DMA in the kernel. The pack
     # (cast+shift+or) fuses into the payload-prep elementwise graph. fp32
     # grads keep per-feature f32 payloads (strict-parity mode).
-    packed = (jnp.dtype(val_dtype) == jnp.bfloat16 and f == 2)
+    packed = (jnp.dtype(val_dtype) == jnp.bfloat16 and f % 2 == 0)
     if packed:
-        lohi = []
-        for j in range(2):
-            b16 = jax.lax.bitcast_convert_type(
-                vals[j].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-            lohi.append(b16)
-        payload = [jax.lax.bitcast_convert_type(
-            jnp.bitwise_or(jax.lax.shift_left(lohi[1], jnp.uint32(16)),
-                           lohi[0]), jnp.int32)]
+        payload = []
+        for pair in range(f // 2):
+            lohi = []
+            for j in (2 * pair, 2 * pair + 1):
+                b16 = jax.lax.bitcast_convert_type(
+                    vals[j].astype(jnp.bfloat16),
+                    jnp.uint16).astype(jnp.uint32)
+                lohi.append(b16)
+            payload.append(jax.lax.bitcast_convert_type(
+                jnp.bitwise_or(jax.lax.shift_left(lohi[1], jnp.uint32(16)),
+                               lohi[0]), jnp.int32))
     else:
         payload = list(vals)
     nv = len(payload)
@@ -219,5 +233,7 @@ def block_segment_sum(keys: jnp.ndarray, vals, table_size: int,
         out_shape=jax.ShapeDtypeStruct((f, table_size), jnp.float32),
         interpret=interpret,
     )(starts, keys_p, *vals_p)
+    if feature_major:
+        return out
     # [f, T] -> flat feature-minor [T*F] (1-D end to end outside the kernel).
     return out.T.reshape(table_size * f)

@@ -325,6 +325,36 @@ def test_hashgrid_custom_vjp_recompute_path_matches_saved(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("hash_impl", ["xor", "add"])
+def test_hashgrid_packed_bwd_matches_unpacked(monkeypatch, hash_impl):
+    # The corner-packed backward (NERF_HUGS_PACK_BWD=1: base-corner keys,
+    # 2^k*F augmented payload columns, roll-fold) must reproduce the
+    # unpacked sorted-scatter gradient on dense levels (both hash modes)
+    # and hashed levels (hash_impl='add'), at pair and quad tiers,
+    # through the real custom VJP in interpret mode.
+    from nerf_hugs_tpu.ops.hashgrid import _encode_custom
+    spec = HashGridSpec(num_levels=4, features_per_level=2,
+                        log2_hashmap_size=10, base_res=4, max_res=32,
+                        bwd_dtype="float32", hash_impl=hash_impl)
+    table = rand_table(spec, jax.random.PRNGKey(5))
+    pos = np.concatenate([
+        np.random.RandomState(6).rand(97, 3).astype(np.float32),
+        np.ones((1, 3), np.float32)])
+    cot = jax.random.normal(jax.random.PRNGKey(7), (98, spec.output_dim))
+    loss = lambda t: jnp.sum(_encode_custom(t, jnp.asarray(pos), spec, True)
+                             * cot)
+    g_unpacked = jax.grad(loss)(table)
+    for quad in ("0", "1"):
+        monkeypatch.setenv("NERF_HUGS_PACK_BWD", "1")
+        monkeypatch.setenv("NERF_HUGS_QUAD_DENSE_MIN_ROWS", quad)
+        g_packed = jax.grad(loss)(table)
+        for a, b in zip(g_packed, g_unpacked):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+        monkeypatch.delenv("NERF_HUGS_PACK_BWD")
+        monkeypatch.delenv("NERF_HUGS_QUAD_DENSE_MIN_ROWS")
+
+
 def test_block_segment_sum_packed_bf16_matches_scatter_add():
     # The bf16 grad mode (the AMP default) packs the f=2 value pair into one
     # int32 sort payload and unpacks it in-kernel by shift+bitcast; it must
@@ -350,6 +380,23 @@ def test_block_segment_sum_packed_bf16_matches_scatter_add():
         vals2.astype(jnp.bfloat16).astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=1e-4, atol=1e-6)
+    # Wider even f (the packed-backward augmented columns): every pair
+    # rides its own int32 payload; feature order must survive the
+    # pack/unpack round-trip. Distinct scales per feature catch swaps.
+    f8 = 8
+    vals8 = jax.random.normal(jax.random.PRNGKey(2), (K, f8), jnp.float32)
+    vals8 = vals8 * (10.0 ** jnp.arange(-3, 5, dtype=jnp.float32))
+    got8 = hashgrid_bwd.block_segment_sum(keys, vals8, T, "bfloat16",
+                                          True).reshape(T, f8)
+    want8 = jnp.zeros((T, f8)).at[keys].add(
+        vals8.astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(want8),
+                               rtol=1e-4, atol=1e-5)
+    # feature_major returns the kernel-native [F, T] untransposed.
+    got8_fm = hashgrid_bwd.block_segment_sum(keys, vals8, T, "bfloat16",
+                                             True, feature_major=True)
+    np.testing.assert_array_equal(np.asarray(got8_fm.T.reshape(-1)),
+                                  np.asarray(got8.reshape(-1)))
 
 
 def test_hashgrid_pair_dense_matches_default(monkeypatch):
