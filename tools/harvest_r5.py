@@ -28,6 +28,8 @@ EXPECTED = [
     "photo_base", "bench_r5",
     # part B (tools/tpu_queue_r5b.sh): additive-hash perf + quality A/B
     "addhash_bench", "addhash_quality_tpu", "addhash_quality_base",
+    # part C (tools/tpu_queue_r5c.sh): corner-packed backward A/B
+    "packbwd_addhash", "packbwd_xor_base",
 ]
 
 
