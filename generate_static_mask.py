@@ -48,6 +48,7 @@ class SegmentConfig:
     sam_crop_n_layers: int = 1
     sam_crop_n_points_downscale_factor: int = 2
     sam_min_mask_region_area: int = 50
+    sam_points_per_batch: int = 64           # TPU extra: decoder batch size
     sfm_point_count_threshold: int = 5       # T_SfM
     sfm_delete_outlier_points: bool = False
     sfm_cluster_num: int = -1
@@ -94,6 +95,19 @@ def generate_masks_for_image(pred, gt, feature_points, mask_generator,
     visualization [2h, 8w, 3])."""
     from nerf_hugs_tpu.hugs import heuristics
 
+    # NERF_HUGS_HUGS_TIMING=1 prints a per-stage wall-clock breakdown
+    # (amg / regions / residual / sfm / fuse) after each image.
+    import time
+    timing = os.environ.get("NERF_HUGS_HUGS_TIMING", "0") == "1"
+    stage_t: dict = {}
+    t_last = time.time()
+
+    def _mark(name):
+        nonlocal t_last
+        now = time.time()
+        stage_t[name] = stage_t.get(name, 0.0) + (now - t_last)
+        t_last = now
+
     height, width = gt.shape[:2]
     vis = np.zeros((height * 2, width * 8, 3), np.float32)
     put = lambda r, c, img: vis.__setitem__(
@@ -106,8 +120,10 @@ def generate_masks_for_image(pred, gt, feature_points, mask_generator,
     sam_image = (gt * 255).astype(np.uint8)
     sam_results = sorted(mask_generator.generate(sam_image),
                          key=lambda x: x["area"], reverse=True)
+    _mark("amg")
     sam_regions = heuristics.complete_sam_regions(
         [r["segmentation"] for r in sam_results], height, width)
+    _mark("regions")
     rng = np.random.RandomState(0)
     region_vis = sum(sam_regions[i] * rng.rand(1, 1, 3)
                      for i in range(len(sam_regions)))
@@ -129,6 +145,7 @@ def generate_masks_for_image(pred, gt, feature_points, mask_generator,
         heuristics.intersect_masks(res_upper, sam_regions, 0.5), 5)
     put(0, 4, visualize_mask(gt, res_upper_sam))
     put(1, 4, np.broadcast_to(res_upper_sam, gt.shape))
+    _mark("residual")
 
     # 3. SfM static points -> point-prompted SAM masks.
     sfm_mask = np.zeros((height, width), np.float32)
@@ -147,39 +164,28 @@ def generate_masks_for_image(pred, gt, feature_points, mask_generator,
         for start in range(0, len(coords), batch):
             chunk = coords[start:start + batch]
             labels = input_labels[start:start + batch]
-            pad = 0
-            if len(chunk) < batch:
-                pad = batch - len(chunk)
+            n_valid = len(chunk)
+            if n_valid < batch:
+                pad = batch - n_valid
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:])])
                 labels = np.concatenate(
                     [labels, np.zeros((pad,) + labels.shape[1:], np.int32)])
-            masks, iou_preds = predictor.predict_batched(chunk, labels)
-            if pad:
-                masks, iou_preds = masks[:-pad], iou_preds[:-pad]
-            if config.sfm_use_highest_iou:
-                best = np.argmax(iou_preds, axis=-1)
-                masks = masks[np.arange(len(masks)), best]
-                iou_preds = iou_preds[np.arange(len(iou_preds)), best]
-            else:
-                masks = masks.reshape(-1, height, width)
-                iou_preds = iou_preds.reshape(-1)
-            if config.sfm_pred_iou_thresh > 0:
-                keep = iou_preds > config.sfm_pred_iou_thresh
-                masks, iou_preds = masks[keep], iou_preds[keep]
-            stability = heuristics.calculate_stability_score(
-                masks, predictor.mask_threshold,
-                config.sfm_stability_score_offset)
-            if config.sfm_stability_score_thresh > 0:
-                keep = stability >= config.sfm_stability_score_thresh
-                masks = masks[keep]
-            sfm_mask += (masks > predictor.mask_threshold).sum(
-                axis=0).astype(np.float32)
+            # Decode + best-IoU selection + IoU/stability filter + threshold
+            # + per-pixel count all on device (predictor.predict_count);
+            # only the [h, w] count map crosses to the host. Equivalent to
+            # the reference's predict -> argmax -> filter -> sum chain.
+            sfm_mask += predictor.predict_count(
+                chunk, labels, config.sfm_pred_iou_thresh,
+                config.sfm_stability_score_thresh,
+                config.sfm_stability_score_offset, n_valid=n_valid,
+                select_best=config.sfm_use_highest_iou)
         predictor.reset_image()
         sfm_mask = heuristics.fill_gap(
             (sfm_mask[..., None] >= 0.5).astype(np.float32), 5)[..., 0]
     put(0, 5, visualize_mask(gt, sfm_mask[..., None]))
     put(1, 5, np.broadcast_to(sfm_mask[..., None], gt.shape))
+    _mark("sfm")
 
     # 4. Fuse.
     sfm_residual = (((sfm_mask[..., None] + res_base) * res_upper) >= 0.5
@@ -191,6 +197,11 @@ def generate_masks_for_image(pred, gt, feature_points, mask_generator,
         config.smooth_kernel_size, config.erode_kernel_size)
     put(0, 7, visualize_mask(gt, static_mask))
     put(1, 7, np.broadcast_to(static_mask, gt.shape))
+    _mark("fuse")
+    if timing:
+        print("  stages: " + " ".join(f"{k}={v:.1f}s"
+                                      for k, v in stage_t.items()),
+              flush=True)
     return static_mask, vis
 
 
@@ -207,6 +218,7 @@ def main(image_path, colmap_path, sam_model_type, sam_checkpoint_path,
     mask_generator = SamAutomaticMaskGenerator(
         predictor=predictor,
         points_per_side=config.sam_points_per_side,
+        points_per_batch=config.sam_points_per_batch,
         pred_iou_thresh=config.sam_pred_iou_thresh,
         stability_score_thresh=config.sam_stability_score_thresh,
         crop_n_layers=config.sam_crop_n_layers,

@@ -132,6 +132,93 @@ def test_sam_predictor_shapes(tiny_sam):
     assert np.all(np.isfinite(masks))
 
 
+@pytest.mark.parametrize("iou_t,stab_t", [(0.0, 0.0), (0.5, 0.6)])
+def test_predict_compact_matches_batched(tiny_sam, iou_t, stab_t):
+    """The device-side filtered path (decode + upsample + IoU/stability
+    filter + threshold + box + bit-pack in one jit) must reproduce the
+    predict_batched -> numpy filtering chain exactly, including pad-prompt
+    masking, the empty-mask drop, and mask_to_box."""
+    rng = np.random.RandomState(3)
+    image = (rng.rand(48, 60, 3) * 255).astype(np.uint8)
+    tiny_sam.set_image(image)
+    n_valid, batch = 5, 8
+    pts_px = rng.rand(n_valid, 1, 2) * np.array([60.0, 48.0])
+    pts = tiny_sam.apply_coords(pts_px, (48, 60))
+    pts = np.concatenate([pts, np.zeros((batch - n_valid, 1, 2))])
+    labels = np.ones(pts.shape[:2])
+    offset = 1.0
+
+    # Reference chain (host numpy over full-res logits).
+    logits, ious = tiny_sam.predict_batched(pts, labels)
+    logits = logits[:n_valid].reshape(-1, 48, 60)
+    ious_f = ious[:n_valid].reshape(-1)
+    stab = heuristics.calculate_stability_score(
+        logits, tiny_sam.mask_threshold, offset)
+    want_keep = np.ones(len(logits), bool)
+    if iou_t > 0:
+        want_keep &= ious_f > iou_t
+    if stab_t > 0:
+        want_keep &= stab >= stab_t
+    segs = logits > tiny_sam.mask_threshold
+    want_keep &= segs.any((-1, -2))
+
+    packed, got_ious, got_stabs, keep, boxes, n_pass = \
+        tiny_sam.predict_compact(pts, labels, iou_t, stab_t, offset,
+                                 n_valid=n_valid, max_keep=batch * 3)
+    assert n_pass == int(want_keep.sum())
+    np.testing.assert_array_equal(keep[:n_valid * 3], want_keep)
+    assert not keep[n_valid * 3:].any()
+    np.testing.assert_allclose(got_ious[:n_valid * 3], ious_f, rtol=1e-5)
+    np.testing.assert_allclose(got_stabs[:n_valid * 3], stab, rtol=1e-4)
+    from nerf_hugs_tpu.hugs.sam.amg import mask_to_box
+    for i in np.where(want_keep)[0]:
+        seg = np.unpackbits(packed[i], count=48 * 60).reshape(48, 60)
+        np.testing.assert_array_equal(seg.astype(bool), segs[i])
+        np.testing.assert_array_equal(boxes[i].astype(np.float64),
+                                      mask_to_box(segs[i]))
+
+    # predict_count == the reference sfm accumulation (select_best path).
+    best = np.argmax(ious[:n_valid], axis=-1)
+    best_logits = logits.reshape(n_valid, 3, 48, 60)[np.arange(n_valid),
+                                                     best]
+    best_ious = ious[:n_valid][np.arange(n_valid), best]
+    k = np.ones(n_valid, bool)
+    if iou_t > 0:
+        k &= best_ious > iou_t
+    bstab = heuristics.calculate_stability_score(
+        best_logits, tiny_sam.mask_threshold, offset)
+    if stab_t > 0:
+        k &= bstab >= stab_t
+    k &= (best_logits > tiny_sam.mask_threshold).any((-1, -2))
+    want_counts = (best_logits[k] > tiny_sam.mask_threshold).sum(0)
+    got_counts = tiny_sam.predict_count(pts, labels, iou_t, stab_t, offset,
+                                        n_valid=n_valid, select_best=True)
+    np.testing.assert_array_equal(got_counts, want_counts.astype(np.float32))
+    tiny_sam.reset_image()
+
+
+def test_predict_compact_budget_drops_lowest_iou(tiny_sam):
+    """max_keep smaller than the pass count keeps the highest-IoU masks and
+    reports the overflow via n_pass."""
+    rng = np.random.RandomState(4)
+    image = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    tiny_sam.set_image(image)
+    pts = tiny_sam.apply_coords(rng.rand(4, 1, 2) * 32.0, (32, 32))
+    labels = np.ones(pts.shape[:2])
+    full = tiny_sam.predict_compact(pts, labels, 0.0, 0.0, 1.0,
+                                    n_valid=4, max_keep=12)
+    packed, ious, stabs, keep, boxes, n_pass = tiny_sam.predict_compact(
+        pts, labels, 0.0, 0.0, 1.0, n_valid=4, max_keep=2)
+    assert packed.shape[0] == 2 and keep.shape == (2,)
+    assert n_pass == full[5]
+    if n_pass >= 2:
+        # The two survivors are the top-2 IoU among the full keep set.
+        kept_ious = np.sort(full[1][full[3]])[-2:]
+        np.testing.assert_allclose(np.sort(ious[keep]), kept_ious,
+                                   rtol=1e-6)
+    tiny_sam.reset_image()
+
+
 def test_sam_amg_pipeline(tiny_sam):
     from nerf_hugs_tpu.hugs.sam.amg import SamAutomaticMaskGenerator
     gen = SamAutomaticMaskGenerator(

@@ -30,6 +30,8 @@ EXPECTED = [
     "addhash_bench", "addhash_quality_tpu", "addhash_quality_base",
     # part C (tools/tpu_queue_r5c.sh): corner-packed backward A/B
     "packbwd_addhash", "packbwd_xor_base",
+    # part D (tools/tpu_queue_r5d.sh): HuGS rehearsal with compact decode
+    "hugs_rehearsal_r5",
 ]
 
 
