@@ -134,12 +134,34 @@ def test_fwd_descriptor_floor_counts(monkeypatch):
     assert n_unpaired == expect
     assert t_fast == n_unpaired / 215e6 and t_slow == n_unpaired / 165e6
 
+    # Pair-only closed form (quad/oct tiers pinned off).
     monkeypatch.setenv("NERF_HUGS_PAIR_DENSE", "1")
+    monkeypatch.setenv("NERF_HUGS_QUAD_DENSE_MIN_ROWS", "0")
+    monkeypatch.setenv("NERF_HUGS_OCT_DENSE_MIN_ROWS", "0")
     n_paired, _, _ = fwd_descriptor_floor(config)
     dense_saved = 4 * (samples_field * int(field.dense_level().sum())
                        + samples_prop * int(prop.dense_level().sum()))
     assert dense_saved > 0
     assert n_paired == n_unpaired - dense_saved
+
+    # Quad tier at a pinned threshold: packable levels >= the gate save 6
+    # of 8 corners, the remaining dense levels save 4 (pair).
+    gate = 1 << 20
+    monkeypatch.setenv("NERF_HUGS_QUAD_DENSE_MIN_ROWS", str(gate))
+    n_quad, _, _ = fwd_descriptor_floor(config)
+
+    def saved(spec, samples):
+        out = 0
+        for lvl in range(spec.num_levels):
+            if spec.pack_strides(lvl) is None:
+                continue
+            rows = int(spec.level_sizes[lvl])
+            out += samples * (6 if rows >= gate else 4)
+        return out
+
+    assert n_quad == n_unpaired - saved(field, samples_field) \
+        - saved(prop, samples_prop)
+    assert n_quad < n_paired  # base has at least one quad-tier dense level
 
 
 def test_eval_polling_done_matrix():
