@@ -29,6 +29,25 @@ def test_all_reference_yaml_configs_parse(path):
     assert config.model_type in ("nerfacto", "nerf")
 
 
+# Every config WE ship (the reference-named set plus the TPU extras:
+# *_nerfacto_tpu, *_addhash, bf16 overlays) must load through its dialect.
+OUR_YAML = sorted(glob.glob("configs/nerfacto/*.yml"))
+OUR_GIN = sorted(glob.glob("configs/mipnerf360/*.gin"))
+
+
+@pytest.mark.parametrize("path", OUR_YAML, ids=os.path.basename)
+def test_all_shipped_yaml_configs_parse(path):
+    config = yaml_loader.load_yaml_config(path)
+    assert isinstance(config, Config)
+    assert config.model_type in ("nerfacto", "nerf")
+
+
+@pytest.mark.parametrize("path", OUR_GIN, ids=os.path.basename)
+def test_all_shipped_gin_configs_parse(path):
+    config = gin_parser.parse_gin_configs([path])
+    assert isinstance(config, Config)
+
+
 def test_gin_values_land_correctly():
     path = os.path.join(REF, "MipNeRF360/configs/360.gin")
     if not os.path.exists(path):

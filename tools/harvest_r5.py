@@ -32,6 +32,8 @@ EXPECTED = [
     "packbwd_addhash", "packbwd_xor_base",
     # part D (tools/tpu_queue_r5d.sh): HuGS rehearsal with compact decode
     "hugs_rehearsal_r5",
+    # part E (tools/tpu_queue_r5e.sh): phototourism/distractor addhash bench
+    "addhash_twins_bench",
 ]
 
 
