@@ -226,6 +226,13 @@ class NerfactoModel(nn.Module):
     def _get_embedding(self, embed, embed_idx, deterministic, zero):
         """eval_embedding modes original/zero/average (nerfacto.py:265-291)."""
         nc = self.config.nerfacto
+        if self.is_initializing():
+            # construct_model inits with rng=None (deterministic), so under
+            # eval_embedding='zero' the trace below would return without ever
+            # touching the table — the param would not exist and the first
+            # training apply would fail (ScopeParamNotFoundError). Touch it
+            # unconditionally so every init creates the full param tree.
+            _ = embed.embedding
         if zero:
             return jnp.zeros(embed_idx.shape + (embed.features,))
         if deterministic and nc.eval_embedding == "zero":

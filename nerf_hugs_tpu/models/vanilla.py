@@ -135,6 +135,12 @@ class VanillaNerfModel(nn.Module):
         _, s_to_t = coord.construct_ray_warps(warp_fn, rays.near, rays.far)
 
         def get_embedding(embed, idx, zero):
+            if self.is_initializing():
+                # construct_model inits with rng=None (deterministic); under
+                # eval_embedding='zero' the trace would skip the table read
+                # and the param would never be created — the first training
+                # apply then fails. Touch it so init builds the full tree.
+                _ = embed.embedding
             if zero:
                 return jnp.zeros(idx.shape + (embed.features,))
             if deterministic and nc.eval_embedding == "zero":

@@ -118,7 +118,7 @@ def _dense_pack_dims(level_rows: int, num_dims: int) -> int:
 
 
 def _pack_bwd_enabled() -> bool:
-    """Measured-perf knob (round 5, default OFF until the hardware A/B):
+    """Measured-perf knob (round 5, DEFAULT ON after the hardware A/B):
     corner-packed BACKWARD on packable levels. Instead of sorting 2^d
     (row, w*g) entries per sample per level, sort only the 2^(d-k) base
     corners with 2^k*F-wide payloads scattering into an AUGMENTED [T,
@@ -126,9 +126,15 @@ def _pack_bwd_enabled() -> bool:
     1-D rolls (the transpose of the forward's concat+roll table build).
     Same total payload bytes, 2^k x fewer sort rows and kernel entries,
     and a wider (MXU-friendlier) segment-sum matmul.
-    NERF_HUGS_PACK_BWD=1 enables."""
+
+    Measured round-5 v5e A/B (.runs_r5/q/packbwd_*.log, full train steps):
+      kubric_nerfacto_base (xor)      2.828 -> 2.663 s/step  (-5.8%)
+      kubric_nerfacto_base_addhash    2.072 -> 1.578 s/step  (-23.8%)
+      kubric_nerfacto_tpu_addhash     0.571 -> 0.447 s/step  (-21.7%)
+    DEFAULT ON since that A/B; NERF_HUGS_PACK_BWD=0 restores the
+    per-corner backward."""
     import os
-    return os.environ.get("NERF_HUGS_PACK_BWD", "0") == "1"
+    return os.environ.get("NERF_HUGS_PACK_BWD", "1") == "1"
 
 
 def _mxu_deinterleave_enabled() -> bool:

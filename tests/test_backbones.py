@@ -103,6 +103,25 @@ def test_nerfacto_add_hash_trains(mesh):
         f"{np.mean(psnrs[-10:]):.2f}")
 
 
+def test_appearance_embed_with_zero_eval_embedding_trains(mesh):
+    # Regression: construct_model inits with rng=None (deterministic), so
+    # eval_embedding='zero' used to skip the embedding-table read during the
+    # init trace — the param was never created and the FIRST training step
+    # died with ScopeParamNotFoundError (every shipped distractor_nerfacto_*
+    # yaml hits this: use_appearance_embedding + eval_embedding 'zero').
+    config = nerfacto_config()
+    config.nerfacto.use_appearance_embedding = True
+    config.nerfacto.eval_embedding = "zero"
+    psnrs = run_steps(config, mesh, 2)
+    assert np.isfinite(psnrs).all()
+
+    config = nerf_config()
+    config.nerfacto.use_appearance_embedding = True
+    config.nerfacto.eval_embedding = "zero"
+    psnrs = run_steps(config, mesh, 2)
+    assert np.isfinite(psnrs).all()
+
+
 def test_vanilla_nerf_trains(mesh):
     psnrs = run_steps(nerf_config(), mesh, 60)
     assert np.isfinite(psnrs).all()

@@ -343,6 +343,7 @@ def test_hashgrid_packed_bwd_matches_unpacked(monkeypatch, hash_impl):
     cot = jax.random.normal(jax.random.PRNGKey(7), (98, spec.output_dim))
     loss = lambda t: jnp.sum(_encode_custom(t, jnp.asarray(pos), spec, True)
                              * cot)
+    monkeypatch.setenv("NERF_HUGS_PACK_BWD", "0")  # packed is the default now
     g_unpacked = jax.grad(loss)(table)
     for quad in ("0", "1"):
         monkeypatch.setenv("NERF_HUGS_PACK_BWD", "1")
