@@ -139,6 +139,7 @@ def main(argv=None):
             time.sleep(10)
             continue
         last_step = effective_step
+        checkpoints.check_model_compat(config.checkpoint_dir, config)
         state = checkpoints.restore_params(ckpt_dir, state, step)
         recorder.print(f"Evaluating checkpoint step {step} from {ckpt_dir}")
         # Render mid-training checkpoints at the train_frac they were trained

@@ -49,6 +49,12 @@ class SegmentConfig:
     sam_crop_n_points_downscale_factor: int = 2
     sam_min_mask_region_area: int = 50
     sam_points_per_batch: int = 64           # TPU extra: decoder batch size
+    # TPU extra: device->host transfer budget — kept masks shipped per
+    # decoder batch (amg.SamAutomaticMaskGenerator.max_masks_per_batch).
+    # None = all 3*points_per_batch candidates (exact parity, ~19 MB/batch
+    # through the tunnel at 768x1024); a warning fires if a smaller budget
+    # ever drops a passing mask.
+    sam_max_masks_per_batch: int | None = None
     sfm_point_count_threshold: int = 5       # T_SfM
     sfm_delete_outlier_points: bool = False
     sfm_cluster_num: int = -1
@@ -223,7 +229,8 @@ def main(image_path, colmap_path, sam_model_type, sam_checkpoint_path,
         stability_score_thresh=config.sam_stability_score_thresh,
         crop_n_layers=config.sam_crop_n_layers,
         crop_n_points_downscale_factor=config.sam_crop_n_points_downscale_factor,
-        min_mask_region_area=config.sam_min_mask_region_area)
+        min_mask_region_area=config.sam_min_mask_region_area,
+        max_masks_per_batch=config.sam_max_masks_per_batch)
 
     image_dir = Path(image_path)
     gt_paths = sorted(image_dir.glob("*_gt.png"))

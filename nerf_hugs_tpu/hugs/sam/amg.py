@@ -173,7 +173,8 @@ class SamAutomaticMaskGenerator:
                 import warnings
                 warnings.warn(
                     f"AMG batch kept {n_pass} masks > budget {len(keep)}; "
-                    "lowest-IoU masks dropped (raise points_per_batch)")
+                    "lowest-IoU masks dropped (raise max_masks_per_batch "
+                    "or set it to None)")
             for i in np.where(keep)[0]:
                 seg = np.unpackbits(packed[i], count=hw).reshape(h, w) \
                     .astype(bool)

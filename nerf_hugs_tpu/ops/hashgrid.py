@@ -112,7 +112,9 @@ def _dense_pack_dims(level_rows: int, num_dims: int) -> int:
     oct_min = int(os.environ.get("NERF_HUGS_OCT_DENSE_MIN_ROWS", 0))
     if quad_min and level_rows >= quad_min and num_dims >= 2:
         k = 2
-    if oct_min and level_rows >= oct_min and num_dims >= 3 and k == 2:
+    # Tiers gate independently on their own thresholds (an oct-only A/B
+    # with quad disabled is a valid configuration).
+    if oct_min and level_rows >= oct_min and num_dims >= 3:
         k = 3
     return min(k, num_dims)
 

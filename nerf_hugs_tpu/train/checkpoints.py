@@ -16,6 +16,56 @@ import jax
 import orbax.checkpoint as ocp
 
 _STEP_RE = re.compile(r"^checkpoint_(\d+)$")
+_COMPAT_FILE = "model_compat.json"
+
+
+def _compat_fields(config) -> Optional[dict]:
+    """Model-function choices a checkpoint silently depends on.
+
+    `nerfacto.hash_impl` ('xor' vs 'add', configs/config.py) changes the
+    hashed-level lookup indices but NOT the param tree, so a checkpoint
+    restores cleanly across the switch and renders near-noise with no
+    error. Returns None for model types with no such fields."""
+    if getattr(config, "model_type", None) != "nerfacto":
+        return None
+    return {"hash_impl": getattr(config.nerfacto, "hash_impl", "xor")}
+
+
+def record_model_compat(directory: str, config) -> None:
+    """Write the compat sidecar next to the checkpoints (process 0, once;
+    call check_model_compat first on resume paths)."""
+    fields = _compat_fields(config)
+    if fields is None or jax.process_index() != 0:
+        return
+    path = os.path.join(directory, _COMPAT_FILE)
+    if os.path.exists(path):
+        return
+    import json
+    os.makedirs(directory, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(fields, f)
+
+
+def check_model_compat(directory: str, config) -> None:
+    """Raise if `config` is model-function-incompatible with the
+    checkpoints under `directory` (no-op when no sidecar exists — pre-guard
+    runs and fresh directories)."""
+    fields = _compat_fields(config)
+    path = os.path.join(directory, _COMPAT_FILE)
+    if fields is None or not os.path.exists(path):
+        return
+    import json
+    with open(path) as f:
+        saved = json.load(f)
+    for key, want in fields.items():
+        have = saved.get(key, "xor" if key == "hash_impl" else None)
+        if have != want:
+            raise ValueError(
+                f"checkpoints under {directory} were trained with "
+                f"{key}={have!r} but the config sets {key}={want!r} — the "
+                f"param trees match so the restore would succeed and render "
+                f"garbage. Use a config with {key}: {have} (checkpoints do "
+                f"not transfer between hash_impl modes).")
 
 
 def _ckpt_path(directory: str, step: int) -> str:

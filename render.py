@@ -125,6 +125,7 @@ def main(argv=None):
     ckpt_dir = ft_dir if (config.finetune_enable and
                           checkpoints.latest_step(ft_dir) is not None) \
         else config.checkpoint_dir
+    checkpoints.check_model_compat(config.checkpoint_dir, config)
     state = checkpoints.restore_params(ckpt_dir, state)
     step = int(state.step)
     if config.finetune_enable and ckpt_dir == ft_dir:

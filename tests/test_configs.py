@@ -136,3 +136,22 @@ def test_kubric_robustnerf_gin_needs_patch_size_binding():
     mask, stats = zoo.robustnerf_mask(errors, 0.5, fixed)
     assert mask.shape == (4, 16, 16, 1)
     assert float(stats["mask"]) == 1.0  # all errors under threshold
+
+
+def test_every_hugs_yaml_parses_into_segment_config():
+    """Every shipped configs/hugs/*.yml constructs a SegmentConfig through
+    the generate_static_mask.py CLI's exact load path."""
+    import glob
+
+    import yaml
+
+    import generate_static_mask as gsm
+
+    paths = sorted(glob.glob("/root/repo/configs/hugs/*.yml"))
+    assert paths, "no hugs configs shipped"
+    for path in paths:
+        with open(path) as f:
+            config = gsm.SegmentConfig(**yaml.safe_load(f.read()))
+        assert config.sam_points_per_side > 0
+        budget = config.sam_max_masks_per_batch
+        assert budget is None or 0 < budget <= 3 * config.sam_points_per_batch

@@ -186,3 +186,41 @@ def test_eval_polling_done_matrix():
     assert not polling_done(c, False, 100)
     assert not polling_done(c, True, 49)
     assert polling_done(c, True, 50)
+
+
+def test_model_compat_guard(tmp_path):
+    """hash_impl='xor' vs 'add' changes the model function but not the
+    param tree, so a cross-mode restore loads cleanly and renders noise —
+    the sidecar guard must refuse it loudly (checkpoints.py)."""
+    import dataclasses
+
+    import pytest
+
+    from nerf_hugs_tpu.configs.config import Config
+    from nerf_hugs_tpu.train import checkpoints
+
+    d = str(tmp_path / "ckpt")
+    xor_cfg = Config(model_type="nerfacto")
+    add_cfg = dataclasses.replace(
+        xor_cfg, nerfacto=dataclasses.replace(
+            xor_cfg.nerfacto, hash_impl="add"))
+
+    # No sidecar yet: check is a no-op (pre-guard checkpoints still load).
+    checkpoints.check_model_compat(d, add_cfg)
+
+    checkpoints.record_model_compat(d, xor_cfg)
+    checkpoints.check_model_compat(d, xor_cfg)            # same mode: ok
+    with pytest.raises(ValueError, match="hash_impl"):
+        checkpoints.check_model_compat(d, add_cfg)        # switch: refused
+
+    # record never overwrites an existing sidecar (resume with a switched
+    # config must not self-bless).
+    checkpoints.record_model_compat(d, add_cfg)
+    with pytest.raises(ValueError, match="hash_impl"):
+        checkpoints.check_model_compat(d, add_cfg)
+
+    # Non-hashgrid model types carry no sidecar at all.
+    d2 = str(tmp_path / "ckpt2")
+    checkpoints.record_model_compat(d2, Config(model_type="mipnerf360"))
+    import os
+    assert not os.path.exists(os.path.join(d2, "model_compat.json"))

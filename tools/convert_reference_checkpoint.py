@@ -75,6 +75,16 @@ def main(argv=None):
         config = gin_parser.parse_gin_configs(args.gin_configs,
                                               args.gin_bindings)
 
+    # Released torch checkpoints are tcnn (xor-hash) by construction; an
+    # addhash config has the SAME param tree, so conversion would succeed
+    # and render garbage. Refuse up front (see checkpoints.check_model_compat).
+    if (config.model_type == "nerfacto"
+            and getattr(config.nerfacto, "hash_impl", "xor") != "xor"):
+        raise ValueError(
+            "reference checkpoints require hash_impl: xor (tcnn semantics); "
+            f"the config sets hash_impl="
+            f"{config.nerfacto.hash_impl!r}. Use the non-addhash twin.")
+
     if config.model_type in ("nerfacto", "nerf") and \
             args.reference_checkpoint.endswith((".pth", ".pt", ".ckpt")):
         from nerf_hugs_tpu.models import nerfacto_import, torch_compat
@@ -111,6 +121,7 @@ def main(argv=None):
 
     state = state.replace(params=params, step=step)
     checkpoints.save_checkpoint(args.output_dir, state, step)
+    checkpoints.record_model_compat(args.output_dir, config)
     print(f"converted step-{step} checkpoint -> "
           f"{args.output_dir}/checkpoint_{step}")
     if config.model_type in ("nerfacto", "nerf") and \

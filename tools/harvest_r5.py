@@ -34,6 +34,12 @@ EXPECTED = [
     "hugs_rehearsal_r5",
     # part E (tools/tpu_queue_r5e.sh): phototourism/distractor addhash bench
     "addhash_twins_bench",
+    # part F (tools/tpu_queue_r5f.sh): re-bank under the flipped packbwd
+    # default + the part-B/E retries + the committed bench preview
+    "packbwd_xor_rebench", "addhash_twins_rebench",
+    "addhash_quality_tpu_retry", "bench_final",
+    # part G (tools/tpu_queue_r5g.sh): HuGS AMG dispatch/transfer sweep
+    "hugs_ppb64_mm64", "hugs_ppb256_mm0", "hugs_ppb256_mm64",
 ]
 
 

@@ -114,6 +114,11 @@ def main(argv=None):
     parser.add_argument("--model", default="vit_h")
     parser.add_argument("--points_per_side", type=int, default=64)
     parser.add_argument("--crop_n_layers", type=int, default=1)
+    parser.add_argument("--points_per_batch", type=int, default=64,
+                        help="AMG decoder batch size (prompts per jit call)")
+    parser.add_argument("--max_masks", type=int, default=0,
+                        help="device->host mask budget per decoder batch; "
+                        "0 = all 3*points_per_batch candidates (parity)")
     parser.add_argument("--tiny", action="store_true",
                         help="plumbing smoke on CPU: vit_t at 64px")
     args = parser.parse_args(argv)
@@ -138,6 +143,8 @@ def main(argv=None):
     config = gsm.SegmentConfig(
         sam_points_per_side=args.points_per_side,
         sam_crop_n_layers=args.crop_n_layers,
+        sam_points_per_batch=args.points_per_batch,
+        sam_max_masks_per_batch=args.max_masks or None,
         sfm_point_count_threshold=max(2, args.num_images),
         sfm_seg_batch_size=128)
 
@@ -161,6 +168,8 @@ def main(argv=None):
         "image_hw": [args.height, args.width],
         "points_per_side": args.points_per_side,
         "crop_n_layers": args.crop_n_layers,
+        "points_per_batch": args.points_per_batch,
+        "max_masks_per_batch": args.max_masks or None,
         "num_images": args.num_images,
         "total_sec": round(total, 1),
         "first_image_sec": round(per_image[0], 1) if per_image else None,

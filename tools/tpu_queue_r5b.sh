@@ -3,7 +3,7 @@
 # A/B. Gates on part A (tools/tpu_queue_r5.sh) writing QUEUE COMPLETE so the
 # chip never sees two clients (the wedge risk class, CLAUDE.md). State in
 # /root/repo/.runs_r5 — gitignored, NOT restart-proof: harvest + commit
-# results as soon as jobs finish (tools/harvest_r5.py --part b).
+# results as soon as jobs finish (python tools/harvest_r5.py).
 #
 #   setsid nohup bash tools/tpu_queue_r5b.sh \
 #       > /root/repo/.runs_r5/q/driver_b.log 2>&1 &

@@ -106,6 +106,10 @@ def main(argv=None):
     # Per-host RNG offset for multi-host data parallelism (train.py:47-49).
     rng = jax.random.fold_in(rng, jax.process_index())
 
+    # Refuse to resume across a model-function switch (hash_impl) BEFORE
+    # overwriting the config snapshot; record the sidecar for fresh runs.
+    checkpoints.check_model_compat(config.checkpoint_dir, config)
+    checkpoints.record_model_compat(config.checkpoint_dir, config)
     if jax.process_index() == 0:
         os.makedirs(config.checkpoint_dir, exist_ok=True)
         with open(os.path.join(config.checkpoint_dir, "config.gin"), "w") as f:
