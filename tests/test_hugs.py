@@ -233,6 +233,39 @@ def test_sam_amg_pipeline(tiny_sam):
         assert r["area"] == int(r["segmentation"].sum())
 
 
+def test_sam_amg_mask_budget(tiny_sam):
+    """max_masks_per_batch (the configs/hugs/kubric_tpu.yml transfer
+    budget): a non-dropping budget reproduces the budget-free generator
+    exactly; an undersized one warns and still returns valid masks."""
+    import warnings
+
+    from nerf_hugs_tpu.hugs.sam.amg import SamAutomaticMaskGenerator
+
+    rng = np.random.RandomState(7)
+    image = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    kwargs = dict(predictor=tiny_sam, points_per_side=4, points_per_batch=16,
+                  pred_iou_thresh=0.0, stability_score_thresh=0.0,
+                  crop_n_layers=0, min_mask_region_area=0)
+    want = SamAutomaticMaskGenerator(**kwargs).generate(image)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-dropping budget must NOT warn
+        got = SamAutomaticMaskGenerator(
+            max_masks_per_batch=48, **kwargs).generate(image)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["segmentation"], w["segmentation"])
+        assert g["predicted_iou"] == w["predicted_iou"]
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        small = SamAutomaticMaskGenerator(
+            max_masks_per_batch=2, **kwargs).generate(image)
+    assert any("budget" in str(c.message) for c in caught)
+    assert 0 < len(small) <= len(want)
+    for r in small:
+        assert r["segmentation"].shape == (48, 48)
+
+
 def test_weight_conversion_structure():
     """A state dict with the exact official key schema converts into exactly
     the flax init structure (shapes included), and every official key is
