@@ -64,6 +64,23 @@ def test_gin_values_land_correctly():
     assert config.nerf_mlp.warp_fn == "contract"
 
 
+def test_strongreg_overlay_only_changes_the_reg():
+    """distractor_1024_glo4_nerfw_strongreg.gin is a one-knob overlay: the
+    measured fix for the flagship NeRF-W transient-absorption collapse
+    (PARITY.md). Everything else must stay identical to the parity gin."""
+    base = gin_parser.parse_gin_configs(
+        ["configs/mipnerf360/distractor_1024_glo4_nerfw.gin"])
+    strong = gin_parser.parse_gin_configs(
+        ["configs/mipnerf360/distractor_1024_glo4_nerfw_strongreg.gin"])
+    assert base.nerfw_density_loss_mult == 0.01   # reference value
+    assert strong.nerfw_density_loss_mult == 0.3
+    import dataclasses
+    for f in dataclasses.fields(base):
+        if f.name == "nerfw_density_loss_mult":
+            continue
+        assert getattr(base, f.name) == getattr(strong, f.name), f.name
+
+
 def test_gin_bindings_override():
     config = gin_parser.parse_gin_configs(
         [], bindings=["Config.batch_size = 1024",
