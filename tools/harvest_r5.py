@@ -40,6 +40,14 @@ EXPECTED = [
     "addhash_quality_tpu_retry", "bench_final",
     # part G (tools/tpu_queue_r5g.sh): HuGS AMG dispatch/transfer sweep
     "hugs_ppb64_mm64", "hugs_ppb256_mm0", "hugs_ppb256_mm64",
+    # part H (tools/tpu_queue_r5h.sh): AMG sweep tail (ppb512 is an
+    # EXPECTED fail — on-device bit-pack OOMs at that batch, PARITY.md)
+    "hugs_ppb512_mm64", "hugs_ppb256_mm32",
+    # part I (tools/tpu_queue_r5i.sh): bf16-overlay quality A/B +
+    # strong-reg nerfw flagship probe
+    "bf16_flagship_fp32ctl", "bf16_flagship_bf16", "nerfw_strongreg",
+    # part J (tools/tpu_queue_r5j.sh): quality capstones
+    "xor_tuned_ctl", "addhash_wallclock", "bf16_flagship_10k",
 ]
 
 
@@ -82,10 +90,16 @@ def main(argv=None):
             for line in lines:
                 if re.search(r"M desc/s|--- C=|FAILED", line):
                     print("  " + line)
-        elif name.startswith("addhash_quality"):
+        elif name.startswith("addhash_quality") or name in (
+                "bf16_flagship_fp32ctl", "bf16_flagship_bf16",
+                "nerfw_strongreg", "xor_tuned_ctl", "addhash_wallclock",
+                "bf16_flagship_10k"):
+            train = [l for l in lines if re.search(r"steps/s.*rays/s$", l)]
+            if train:
+                print("  " + train[-1].strip())
             for line in lines:
-                if re.search(r"RESULT|wall-clock|steps/s.*rays/s$", line):
-                    print("  " + line)
+                if re.search(r"RESULT|LOCALIZATION|wall-clock", line):
+                    print("  " + line.strip())
         else:  # JSON-emitting benches
             for obj in _json_lines(lines):
                 print("  " + json.dumps(obj))
