@@ -194,6 +194,15 @@ def test_predict_compact_matches_batched(tiny_sam, iou_t, stab_t):
     got_counts = tiny_sam.predict_count(pts, labels, iou_t, stab_t, offset,
                                         n_valid=n_valid, select_best=True)
     np.testing.assert_array_equal(got_counts, want_counts.astype(np.float32))
+
+    # select_best=False (sfm_use_highest_iou: false): count over ALL
+    # filtered masks, not just each prompt's best.
+    want_counts_all = segs[want_keep].sum(0)
+    got_counts_all = tiny_sam.predict_count(
+        pts, labels, iou_t, stab_t, offset, n_valid=n_valid,
+        select_best=False)
+    np.testing.assert_array_equal(got_counts_all,
+                                  want_counts_all.astype(np.float32))
     tiny_sam.reset_image()
 
 
