@@ -164,7 +164,7 @@ def test_every_hugs_yaml_parses_into_segment_config():
 
     import generate_static_mask as gsm
 
-    paths = sorted(glob.glob("/root/repo/configs/hugs/*.yml"))
+    paths = sorted(glob.glob("configs/hugs/*.yml"))
     assert paths, "no hugs configs shipped"
     for path in paths:
         with open(path) as f:

@@ -46,8 +46,11 @@ EXPECTED = [
     # part I (tools/tpu_queue_r5i.sh): bf16-overlay quality A/B +
     # strong-reg nerfw flagship probe
     "bf16_flagship_fp32ctl", "bf16_flagship_bf16", "nerfw_strongreg",
-    # part J (tools/tpu_queue_r5j.sh): quality capstones
+    # part J (tools/tpu_queue_r5j.sh): quality capstones. xor_tuned_ctl hung
+    # client-side at 2700/3000 and was killed; part K
+    # (tools/tpu_queue_r5k.sh) resumes it from its checkpoints.
     "xor_tuned_ctl", "addhash_wallclock", "bf16_flagship_10k",
+    "xor_tuned_ctl_retry",
 ]
 
 
@@ -93,7 +96,7 @@ def main(argv=None):
         elif name.startswith("addhash_quality") or name in (
                 "bf16_flagship_fp32ctl", "bf16_flagship_bf16",
                 "nerfw_strongreg", "xor_tuned_ctl", "addhash_wallclock",
-                "bf16_flagship_10k"):
+                "bf16_flagship_10k", "xor_tuned_ctl_retry"):
             train = [l for l in lines if re.search(r"steps/s.*rays/s$", l)]
             if train:
                 print("  " + train[-1].strip())
