@@ -158,6 +158,28 @@ def _mxu_deinterleave_enabled() -> bool:
     return os.environ.get("NERF_HUGS_MXU_DEINTERLEAVE", "0") == "1"
 
 
+def _base_corner_ids(d_dims: int, k: int):
+    """Corner ids with zero offset in every packed dim (dims < k).
+
+    corner_offsets orders dim 0 most-significant, so corner id c has a
+    dim-d offset of (c >> (d_dims-1-d)) & 1. The packed fetch/scatter
+    iterates these 2^(d-k) base corners; packed group q's bit d (LSB =
+    first doubling = dim 0) selects the dim-d neighbor."""
+    return [c for c in range(1 << d_dims)
+            if all((c >> (d_dims - 1 - d)) & 1 == 0 for d in range(k))]
+
+
+def _bwd_pack_dims(spec: "HashGridSpec", lvl: int) -> int:
+    """Packing tier the BACKWARD will use on this level (0 = unpacked).
+
+    Single-sources the gate for the backward kernel AND the residual save
+    (the forward saves only the base-corner rows the backward will read —
+    see _encode_impl)."""
+    if spec.pack_strides(lvl) is None or not _pack_bwd_enabled():
+        return 0
+    return _dense_pack_dims(int(spec.level_sizes[lvl]), spec.num_dims)
+
+
 @functools.lru_cache(maxsize=None)
 def _selection_matrix(cols: int) -> np.ndarray:
     """[128, 128] one-hot S with S[s*cols + j, j*g + s] = 1 (g = 128//cols):
@@ -446,7 +468,18 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
     for lvl in range(spec.num_levels):
         rows, weights = _corner_rows_level(spec, positions, lvl)  # [2^d, n]
         if want_residuals:
-            rw.append((rows, weights))
+            # Save only the corner rows the backward will read: the packed
+            # backward keys on the 2^(d-k) BASE corners (all weights are
+            # consumed either way), so the non-base rows would be dead
+            # residual bytes — up to 2x less i32 residual traffic at pair
+            # tier, 4x at quad. The gate (_bwd_pack_dims) is the same one
+            # the backward reads, evaluated in the same trace.
+            k_bwd = _bwd_pack_dims(spec, lvl)
+            if k_bwd:
+                ids = _base_corner_ids(spec.num_dims, k_bwd)
+                rw.append((jnp.stack([rows[c] for c in ids]), weights))
+            else:
+                rw.append((rows, weights))
         # One gather per corner; accumulation in PLANAR per-feature 1-D
         # columns. A fused [2^d*n, F] gather + rank-3 reshape + reduce looks
         # cleaner but makes XLA assign the gather output a (8,128)-tiled
@@ -480,13 +513,7 @@ def _encode_impl(table: jnp.ndarray, positions: jnp.ndarray,
             for d in range(pack_k):
                 tab_a = jnp.concatenate(
                     [tab_a, jnp.roll(tab_a, -strides[d], axis=0)], axis=-1)
-            # corner_offsets orders dim 0 most-significant: corner id
-            # contributes 2^(d_dims-1-d) per dim-d offset. Base corners have
-            # zero offset in every packed dim; packed group q's bit d (LSB =
-            # first doubling = dim 0) selects the dim-d neighbor.
-            base_corners = [c for c in range(num_corners)
-                            if all((c >> (d_dims - 1 - d)) & 1 == 0
-                                   for d in range(pack_k))]
+            base_corners = _base_corner_ids(d_dims, pack_k)
             for b in base_corners:
                 vals = jnp.take(tab_a, rows[b], axis=0)   # [n, 2^k*F]
                 cols = _planar_columns(vals)
@@ -536,7 +563,11 @@ def _encode_custom_fwd(table, positions, spec, interpret):
     # The table is used linearly: only the (rows, weights) — or positions to
     # recompute them past the size cap — and the table dtype are needed.
     n = int(np.prod(positions.shape[:-1]))
-    nbytes = spec.num_levels * n * (1 << spec.num_dims) * 8  # i32 + f32
+    full = 1 << spec.num_dims
+    # Per level: (2^(d-k) saved base-corner rows) i32 + (2^d weights) f32 —
+    # the packed backward keys only on base corners (see _encode_impl).
+    nbytes = sum(n * ((full >> _bwd_pack_dims(spec, lvl)) + full) * 4
+                 for lvl in range(spec.num_levels))
     if nbytes <= _RESIDUAL_BYTES_CAP_PER_CALL:
         out, rw = _encode_impl(table, positions, spec, want_residuals=True)
     else:
@@ -563,8 +594,7 @@ def _encode_custom_bwd(spec, interpret, residuals, g):
         size_l = int(spec.level_sizes[lvl])
         padded = -(-size_l // hashgrid_bwd.BLOCK_R) * hashgrid_bwd.BLOCK_R
         strides = spec.pack_strides(lvl)
-        pack_k = (_dense_pack_dims(size_l, spec.num_dims)
-                  if (strides and _pack_bwd_enabled()) else 0)
+        pack_k = _bwd_pack_dims(spec, lvl)
         if pack_k:
             # Corner-packed backward (see _pack_bwd_enabled): scatter each
             # base corner's 2^k packed-corner contributions into augmented
@@ -573,10 +603,15 @@ def _encode_custom_bwd(spec, interpret, residuals, g):
             # grad_aug[(r - off_q) % T, q*F + j], the exact transpose of
             # the forward's roll-built augmented table.
             d_dims = spec.num_dims
-            base_corners = [c for c in range(rows.shape[0])
-                            if all((c >> (d_dims - 1 - d)) & 1 == 0
-                                   for d in range(pack_k))]
-            keys = jnp.concatenate([rows[b] for b in base_corners])
+            base_corners = _base_corner_ids(d_dims, pack_k)
+            # Saved residuals hold ONLY the base-corner rows (in
+            # base_corners order — see _encode_impl); the recompute path
+            # (rw=None) produces all 2^d.
+            if rows.shape[0] == len(base_corners):
+                base_rows = [rows[i] for i in range(len(base_corners))]
+            else:
+                base_rows = [rows[b] for b in base_corners]
+            keys = jnp.concatenate(base_rows)
             vals = []
             for q in range(1 << pack_k):
                 corners = [b + sum(((q >> d) & 1) << (d_dims - 1 - d)
