@@ -325,6 +325,39 @@ def test_hashgrid_custom_vjp_recompute_path_matches_saved(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_hashgrid_residuals_save_only_base_corner_rows(monkeypatch):
+    # The custom-VJP forward saves only the 2^(d-k) base-corner rows the
+    # packed backward keys on (weights stay full [2^d, n]); the cap
+    # accounting must match the saved footprint, and disabling the packed
+    # backward restores the full row set.
+    from nerf_hugs_tpu.ops import hashgrid as hg
+    spec = HashGridSpec(num_levels=3, features_per_level=2,
+                        log2_hashmap_size=10, base_res=4, max_res=16,
+                        hash_impl="add", bwd_dtype="float32")
+    tup = rand_table(spec, jax.random.PRNGKey(0))
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (65, 3))
+
+    def saved_rows(env):
+        for key, val in env.items():
+            monkeypatch.setenv(key, val)
+        _, (_, _, rw) = hg._encode_custom_fwd(tup, pos, spec, True)
+        for key in env:
+            monkeypatch.delenv(key)
+        return [r.shape[0] for r, _ in rw], [w.shape[0] for _, w in rw]
+
+    # Pair tier everywhere (every level packable under hash_impl='add').
+    rows_n, weights_n = saved_rows({"NERF_HUGS_PACK_BWD": "1",
+                                    "NERF_HUGS_QUAD_DENSE_MIN_ROWS": "0"})
+    assert rows_n == [4, 4, 4] and weights_n == [8, 8, 8]
+    # Quad tier (threshold 1 row -> every level).
+    rows_n, _ = saved_rows({"NERF_HUGS_PACK_BWD": "1",
+                            "NERF_HUGS_QUAD_DENSE_MIN_ROWS": "1"})
+    assert rows_n == [2, 2, 2]
+    # Packed backward off -> the full corner set is saved again.
+    rows_n, _ = saved_rows({"NERF_HUGS_PACK_BWD": "0"})
+    assert rows_n == [8, 8, 8]
+
+
 @pytest.mark.parametrize("hash_impl", ["xor", "add"])
 def test_hashgrid_packed_bwd_matches_unpacked(monkeypatch, hash_impl):
     # The corner-packed backward (NERF_HUGS_PACK_BWD=1: base-corner keys,
